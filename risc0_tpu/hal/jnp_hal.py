@@ -1,0 +1,248 @@
+"""Device op layer ("HAL") built on jnp — runs on TPU or CPU backends.
+
+Op semantics mirror the reference Hal trait (risc0/zkp/src/hal/mod.rs:55-258)
+and its CPU implementation (hal/cpu.rs:305-660), but signatures are natural
+JAX array shapes instead of flat buffers:
+
+  * base-element polynomial batches: uint32 (count, n), Montgomery form
+  * extension elements: trailing axis of size 4
+
+Everything here is jit-compatible; the prover wraps phases in `jax.jit` keyed
+by static shapes.  A Pallas kernel path can override individual ops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import field as F
+from ..core import ntt
+from ..hash import poseidon2 as p2
+
+INV_RATE = 4
+FRI_FOLD = 16
+
+
+# ---------------------------------------------------------------------------
+# Polynomial ops
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("zk_shift",))
+def make_coeffs(witness, zk_shift: bool = True):
+    """iNTT each row and apply the zk shift f(x)->f(3x).
+
+    Matches reference make_coeffs (prove/prover.rs:38-48); returns bit-reversed
+    coefficients.
+    """
+    coeffs = ntt.interpolate_ntt(witness)
+    if zk_shift:
+        coeffs = ntt.zk_shift(coeffs)
+    return coeffs
+
+
+@partial(jax.jit, static_argnames=("expand_bits",))
+def expand_evaluate(coeffs, expand_bits: int = 2):
+    """Bit-reversed coeffs (count, n) -> evaluations over the 2^eb larger domain."""
+    return ntt.evaluate_ntt(ntt.expand(coeffs, expand_bits), expand_bits)
+
+
+def _ext_powers(x, n: int):
+    """(... ,4) -> (..., n, 4) powers x^0..x^{n-1} by doubling."""
+    powers = jnp.zeros(x.shape[:-1] + (1, 4), jnp.uint32).at[..., 0, 0].set(F.MONT_ONE)
+    cur = x
+    length = 1
+    while length < n:
+        nxt = F.ext_mul(powers, cur[..., None, :])
+        powers = jnp.concatenate([powers, nxt], axis=-2)
+        cur = F.ext_mul(cur, cur)
+        length *= 2
+    return powers[..., :n, :]
+
+
+def _ext_tree_sum(x, axis: int):
+    """Field-add reduction along `axis` (log-depth)."""
+    x = jnp.moveaxis(x, axis, 0)
+    while x.shape[0] > 1:
+        m = x.shape[0] // 2
+        head = F.add(x[: 2 * m : 2], x[1 : 2 * m : 2])
+        x = jnp.concatenate([head, x[2 * m :]], axis=0) if x.shape[0] % 2 else head
+    return x[0]
+
+
+def batch_evaluate_any(coeffs_nat, which, xs, chunk: int = 256):
+    return _batch_evaluate_any(coeffs_nat, tuple(int(w) for w in which), xs,
+                               min(chunk, coeffs_nat.shape[-1]))
+
+
+@partial(jax.jit, static_argnames=("which", "chunk"))
+def _batch_evaluate_any(coeffs_nat, which, xs, chunk):
+    """Evaluate polys at ext points: out[k] = P_{which[k]}(xs[k]).
+
+    coeffs_nat: (count, n) natural-order coefficients.
+    which: (k,) host ints; xs: (k, 4) ext points.  Returns (k, 4).
+
+    Chunked Horner: inner chunks use a powers table (k, chunk, 4), the outer
+    loop is a `lax.scan` with the x^chunk step factor — memory stays at
+    O(k*chunk) instead of O(k*n) (reference hal/cpu.rs:362-393 is scalar
+    Horner per tap).
+    """
+    n = coeffs_nat.shape[-1]
+    sel = coeffs_nat[np.asarray(which)]  # (k, n)
+    k = sel.shape[0]
+    powers = _ext_powers(xs, chunk)  # (k, chunk, 4)
+    x_chunk = _ext_powers(xs, chunk + 1)[:, chunk]  # xs^chunk (k, 4)
+    nchunks = n // chunk
+    chunks = sel.reshape(k, nchunks, chunk).transpose(1, 0, 2)  # (nchunks, k, chunk)
+
+    def body(carry, cvals):
+        acc, xc = carry
+        terms = F.mul(powers, cvals[..., None])  # (k, chunk, 4)
+        partial = _ext_tree_sum(terms, axis=1)  # (k, 4)
+        acc = F.add(acc, F.ext_mul(partial, xc))
+        xc = F.ext_mul(xc, x_chunk)
+        return (acc, xc), None
+
+    init = (jnp.zeros((k, 4), jnp.uint32),
+            jnp.zeros((k, 4), jnp.uint32).at[:, 0].set(F.MONT_ONE))
+    (acc, _), _ = jax.lax.scan(body, init, chunks)
+    return acc
+
+
+def mix_poly_coeffs(combos, mix_pows, input_coeffs, which, combo_count: int):
+    return _mix_poly_coeffs(combos, mix_pows, input_coeffs,
+                            tuple(int(w) for w in which), combo_count)
+
+
+@partial(jax.jit, static_argnames=("which", "combo_count"))
+def _mix_poly_coeffs(combos, mix_pows, input_coeffs, which, combo_count: int):
+    """combos[c] += sum_{i: which[i]==c} mix_pows[i] * input[i].
+
+    combos: (combo_count+1, n, 4); mix_pows: (count, 4); input: (count, n);
+    which: (count,) int.  Matches reference hal/cpu.rs:410-456.
+    """
+    which = np.asarray(which)
+    scaled = F.mul(mix_pows[:, None, :], input_coeffs[..., None])  # (count, n, 4)
+    updates = []
+    for c in range(combo_count + 1):
+        members = np.nonzero(which == c)[0]
+        if len(members) == 0:
+            updates.append(jnp.zeros(scaled.shape[1:], jnp.uint32))
+        else:
+            updates.append(_ext_tree_sum(scaled[members], axis=0))
+    return F.add(combos, jnp.stack(updates))
+
+
+@jax.jit
+def poly_divide_ext(p, z):
+    """Synthetic division of each row by (x - z); p: (m, n, 4) natural coeffs.
+
+    out[i] = sum_{j>i} p[j] z^{j-i-1}; remainder = sum_j p[j] z^j.
+    Uses the prefix-sum formulation: s_i = sum_{j>=i} p_j z^j, out_i =
+    s_{i+1} * z^{-(i+1)}.  Requires z != 0 (z is a random DEEP point).
+    Returns (out, remainder).
+    """
+    m, n, _ = p.shape
+    zpow = _ext_powers(z, n)  # (n, 4): z^j
+    pz = F.ext_mul(p, zpow[None, :, :])  # p_j z^j
+    # suffix sums: s_i = sum_{j>=i} pz_j
+    rev = pz[:, ::-1]
+    csum = jax.lax.associative_scan(F.add, rev, axis=1)
+    s = csum[:, ::-1]  # s[i] = sum_{j>=i} pz[j]
+    remainder = s[:, 0]
+    s_next = jnp.concatenate([s[:, 1:], jnp.zeros((m, 1, 4), jnp.uint32)], axis=1)
+    zinv = ext_inv_device(z)
+    zinv_pows = F.ext_mul(_ext_powers(zinv, n), zinv[None, :])  # z^{-(i+1)}
+    out = F.ext_mul(s_next, zinv_pows[None, :, :])
+    return out, remainder
+
+
+def _ext_pow_device(a, e: int):
+    result = jnp.zeros(4, jnp.uint32).at[0].set(F.MONT_ONE)
+    while e > 0:
+        if e & 1:
+            result = F.ext_mul(result, a)
+        a = F.ext_mul(a, a)
+        e >>= 1
+    return result
+
+
+def ext_inv_device(a):
+    """F_p4 inverse of a single (4,) element on device."""
+    return F.ext_mul(
+        _ext_conj_num(a), F.from_subfield(F.inv(_ext_norm(a)))
+    )
+
+
+def _ext_norm(a):
+    # norm = b0^2 + BETA*b2^2 with b0,b2 from the composite-field method
+    a0, a1, a2, a3 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    beta = jnp.asarray(np.uint32(F.MONT_BETA))
+    b0 = F.add(F.mul(a0, a0), F.mul(beta, F.sub(F.mul(a1, F.add(a3, a3)), F.mul(a2, a2))))
+    b2 = F.add(F.sub(F.mul(a0, F.add(a2, a2)), F.mul(a1, a1)), F.mul(beta, F.mul(a3, a3)))
+    return F.add(F.mul(b0, b0), F.mul(beta, F.mul(b2, b2)))
+
+
+def _ext_conj_num(a):
+    a0, a1, a2, a3 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    beta = jnp.asarray(np.uint32(F.MONT_BETA))
+    nbeta = jnp.asarray(np.uint32(F.MONT_NBETA))
+    b0 = F.add(F.mul(a0, a0), F.mul(beta, F.sub(F.mul(a1, F.add(a3, a3)), F.mul(a2, a2))))
+    b2 = F.add(F.sub(F.mul(a0, F.add(a2, a2)), F.mul(a1, a1)), F.mul(beta, F.mul(a3, a3)))
+    o0 = F.add(F.mul(a0, b0), F.mul(beta, F.mul(a2, b2)))
+    o1 = F.add(F.mul(F.neg(a1), b0), F.mul(nbeta, F.mul(a3, b2)))
+    o2 = F.add(F.mul(F.neg(a0), b2), F.mul(a2, b0))
+    o3 = F.sub(F.mul(a1, b2), F.mul(a3, b0))
+    return jnp.stack([o0, o1, o2, o3], axis=-1)
+
+
+@jax.jit
+def eltwise_sum_extelem(combos):
+    """Sum (m, n, 4) ext polys -> (4, n) base-planar buffer (hal/cpu.rs:475-501)."""
+    acc = combos[0]
+    for i in range(1, combos.shape[0]):
+        acc = F.add(acc, combos[i])
+    return acc.T  # (4, n)
+
+
+@jax.jit
+def fri_fold(planar_coeffs, mix):
+    """One FRI fold-by-16 (reference hal/cpu.rs:524-553).
+
+    planar_coeffs: (4, k) bit-reversed ext poly as 4 base rows, k = out*16.
+    mix: (4,) ext.  Returns (4, out).
+    """
+    four, k = planar_coeffs.shape
+    out = k // FRI_FOLD
+    # input[i * k + rev_idx] with rev_idx = rev(i)*out + idx
+    rev = np.array([int(f"{i:04b}"[::-1], 2) for i in range(FRI_FOLD)])
+    # gather: folds[i] = planar[:, rev[i]*out : rev[i]*out+out] -> ext (out, 4)
+    mix_pow = jnp.zeros((4,), jnp.uint32).at[0].set(F.MONT_ONE)
+    tot = jnp.zeros((out, 4), jnp.uint32)
+    for i in range(FRI_FOLD):
+        factor = planar_coeffs[:, rev[i] * out : (rev[i] + 1) * out].T  # (out, 4)
+        tot = F.add(tot, F.ext_mul(mix_pow[None, :], factor))
+        mix_pow = F.ext_mul(mix_pow, mix)
+    return tot.T  # (4, out)
+
+
+# ---------------------------------------------------------------------------
+# Merkle hashing
+# ---------------------------------------------------------------------------
+
+def merkle_layers(matrix):
+    """Build all Merkle layers for a (cols, rows) matrix.
+
+    Returns list of digest arrays: layers[0] = leaf hashes (rows, 8),
+    layers[-1] = (1, 8) root.  Poseidon2 only (device path).
+    """
+    leaves = p2.hash_rows(matrix)
+    layers = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = p2.hash_pairs(cur[0::2], cur[1::2])
+        layers.append(cur)
+    return layers

@@ -1,0 +1,59 @@
+"""FRI low-degree proof, prover side (reference: risc0/zkp/src/prove/fri.rs).
+
+Rounds of [4x LDE -> Merkle commit -> draw fold mix -> fold x16] until the
+polynomial has <= 256 coefficients, then 50 queries with Merkle openings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core import ntt
+from ..hal import jnp_hal as hal
+from .merkle import MerkleTreeProver
+
+INV_RATE = 4
+FRI_FOLD = 16
+FRI_MIN_DEGREE = 256
+QUERIES = 50
+
+
+class _ProveRound:
+    def __init__(self, iop, coeffs):
+        # coeffs: (4, size) planar bit-reversed ext poly
+        size = coeffs.shape[1]
+        self.domain = size * INV_RATE
+        evaluated = hal.expand_evaluate(coeffs, 2)  # (4, domain)
+        matrix = evaluated.reshape(FRI_FOLD * 4, self.domain // FRI_FOLD)
+        self.merkle = MerkleTreeProver(matrix, QUERIES)
+        self.merkle.commit(iop)
+        fold_mix = jnp.asarray(iop.random_ext_elem())
+        self.coeffs = hal.fri_fold(coeffs, fold_mix)  # (4, size/16)
+
+
+def fri_prove(iop, final_poly_coeffs, inner):
+    """final_poly_coeffs: (4, cycles) planar bit-reversed ext poly.
+
+    `inner(iop, pos)` writes the caller's per-query openings (group Merkle
+    proofs).  Mirrors reference fri.rs:86-126.
+    """
+    coeffs = final_poly_coeffs
+    orig_domain = coeffs.shape[1] * INV_RATE
+    rounds = []
+    while coeffs.shape[1] > FRI_MIN_DEGREE:
+        rnd = _ProveRound(iop, coeffs)
+        rounds.append(rnd)
+        coeffs = rnd.coeffs
+    # final coefficients in natural order, planar base-elem layout
+    final = np.asarray(ntt.bit_reverse(coeffs))
+    iop.write_field_elems(final)
+    iop.commit(iop.suite.hash_elem_slice(final.ravel()))
+    # queries
+    for _ in range(QUERIES):
+        pos = iop.random_bits(orig_domain.bit_length() - 1)
+        inner(iop, pos)
+        for rnd in rounds:
+            group = pos % (rnd.domain // FRI_FOLD)
+            rnd.merkle.prove(iop, group)
+            pos = group

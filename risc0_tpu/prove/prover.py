@@ -1,0 +1,205 @@
+"""Generic DEEP-ALI/FRI STARK prover (reference: risc0/zkp/src/prove/prover.rs).
+
+The IOP orchestration runs on host; every bulk polynomial/hash op runs on
+device through the HAL.  Seals are bit-compatible with the reference protocol
+(see SURVEY.md Appendix A).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import field as F
+from ..core import ntt, poly
+from ..hal import jnp_hal as hal
+from .fri import fri_prove
+from .merkle import MerkleTreeProver
+from .write_iop import WriteIOP
+
+INV_RATE = 4
+EXT_SIZE = 4
+CHECK_SIZE = INV_RATE * EXT_SIZE
+QUERIES = 50
+
+
+class PolyGroup:
+    """Committed group (reference: risc0/zkp/src/prove/poly_group.rs).
+
+    coeffs arrive bit-reversed; stored natural-order after LDE + merkle build.
+    """
+
+    def __init__(self, coeffs_br, queries: int = QUERIES):
+        self.count, self.size = coeffs_br.shape
+        self.evaluated = hal.expand_evaluate(coeffs_br, 2)  # (count, 4*size)
+        self.coeffs = ntt.bit_reverse(coeffs_br)            # natural order
+        self.merkle = MerkleTreeProver(self.evaluated, queries)
+
+
+class Prover:
+    def __init__(self, suite, taps):
+        self.suite = suite
+        self.taps = taps
+        self.iop = WriteIOP(suite)
+        self.groups = [None] * taps.num_groups
+        self.po2 = None
+        self.cycles = 0
+
+    def set_po2(self, po2: int):
+        assert self.po2 is None
+        self.po2 = po2
+        self.cycles = 1 << po2
+
+    def commit_group(self, group_id: int, witness):
+        """witness: device (group_size, cycles) uint32 Montgomery."""
+        count, size = witness.shape
+        assert size == self.cycles
+        assert count == self.taps.group_size(group_id)
+        assert self.groups[group_id] is None
+        coeffs = hal.make_coeffs(witness)
+        pg = PolyGroup(coeffs)
+        self.groups[group_id] = pg
+        pg.merkle.commit(self.iop)
+        return pg
+
+    def finalize(self, globals_list, circuit_hal):
+        """globals_list: list of host uint32 arrays (out, mix, ...) passed to
+        eval_check; circuit_hal.eval_check(groups, globals, poly_mix, po2) must
+        return the (4, domain) check polynomial."""
+        taps = self.taps
+        iop = self.iop
+        poly_mix = iop.random_ext_elem()
+        domain = self.cycles * INV_RATE
+
+        check_poly = circuit_hal.eval_check(
+            [pg.evaluated for pg in self.groups], globals_list,
+            poly_mix, self.po2,
+        )
+        assert check_poly.shape == (EXT_SIZE, domain)
+
+        # interpolate the 4 planar polys; bit-reversed coeffs reinterpret as
+        # 16 polys of length cycles with no data movement (prover.rs:143-178)
+        check_coeffs = ntt.interpolate_ntt(check_poly)
+        check_group = PolyGroup(check_coeffs.reshape(CHECK_SIZE, self.cycles))
+        check_group.merkle.commit(iop)
+
+        # DEEP query point
+        z = iop.random_ext_elem()  # (4,) host
+        back_one = F.s_encode(F.ROU_REV[self.po2])
+
+        # Evaluate taps at z * back_one^back, group order accum/code/data
+        all_xs = []
+        eval_u = []
+        for gid in range(taps.num_groups):
+            pg = self.groups[gid]
+            which, xs = [], []
+            for offset, back in taps.group_taps(gid):
+                which.append(offset)
+                x = F.ext_mul_np(_base_pow_ext(back_one, back), z)
+                xs.append(x)
+                all_xs.append(x)
+            if not which:
+                continue
+            out = np.asarray(hal.batch_evaluate_any(
+                pg.coeffs, np.asarray(which), jnp.asarray(np.stack(xs))))
+            eval_u.extend(out)
+
+        # interpolate each register's taps to coefficients
+        coeff_u = []
+        pos = 0
+        for reg in taps.regs:
+            sz = reg.size
+            out = poly.poly_interpolate(
+                np.stack(all_xs[pos : pos + sz]), np.stack(eval_u[pos : pos + sz]))
+            coeff_u.extend(out)
+            pos += sz
+
+        # add check-poly openings at z^4
+        z_pow = F.ext_pow_np(z, EXT_SIZE)
+        which = np.arange(CHECK_SIZE)
+        xs = jnp.asarray(np.broadcast_to(z_pow, (CHECK_SIZE, 4)).copy())
+        check_u = np.asarray(hal.batch_evaluate_any(check_group.coeffs, which, xs))
+        coeff_u.extend(check_u)
+
+        coeff_u = np.stack(coeff_u)  # (num_taps + CHECK_SIZE, 4)
+        iop.write_field_elems(coeff_u)
+        iop.commit(self.suite.hash_elem_slice(coeff_u.ravel()))
+
+        # FRI batching mix
+        mix = iop.random_ext_elem()
+
+        combo_count = taps.combos_size
+        combos = jnp.zeros((combo_count + 1, self.cycles, 4), jnp.uint32)
+
+        # mix the committed coefficients into combos (prover.rs:278-318)
+        cur_mix = poly.ext_one()
+        for gid in range(taps.num_groups):
+            pg = self.groups[gid]
+            regs = taps.group_regs(gid)
+            group_size = taps.group_size(gid)
+            assert len(regs) == group_size, "register groups must be dense"
+            which = np.array([r.combo_id for r in regs])
+            mix_pows = np.zeros((group_size, 4), np.uint32)
+            cm = cur_mix
+            for i in range(group_size):
+                mix_pows[i] = cm
+                cm = F.ext_mul_np(cm, mix)
+            combos = hal.mix_poly_coeffs(
+                combos, jnp.asarray(mix_pows), pg.coeffs, which, combo_count)
+            cur_mix = F.ext_mul_np(cur_mix, F.ext_pow_np(mix, group_size))
+
+        which = np.full(CHECK_SIZE, combo_count)
+        mix_pows = np.zeros((CHECK_SIZE, 4), np.uint32)
+        cm = cur_mix
+        for i in range(CHECK_SIZE):
+            mix_pows[i] = cm
+            cm = F.ext_mul_np(cm, mix)
+        combos = hal.mix_poly_coeffs(
+            combos, jnp.asarray(mix_pows), check_group.coeffs, which, combo_count)
+
+        # combos_prepare: subtract claimed opening polys (hal/mod.rs:202-234)
+        combos_np = np.array(combos)  # writable host copy
+        cur = poly.ext_one()
+        cur_pos = 0
+        for reg in taps.regs:
+            for i in range(reg.size):
+                combos_np[reg.combo_id, i] = F.sub_np(
+                    combos_np[reg.combo_id, i], F.ext_mul_np(cur, coeff_u[cur_pos + i]))
+            cur = F.ext_mul_np(cur, mix)
+            cur_pos += reg.size
+        for _ in range(CHECK_SIZE):
+            combos_np[combo_count, 0] = F.sub_np(
+                combos_np[combo_count, 0], F.ext_mul_np(cur, coeff_u[cur_pos]))
+            cur_pos += 1
+            cur = F.ext_mul_np(cur, mix)
+        combos = jnp.asarray(combos_np)
+
+        # combos_divide: exact division by each (x - z*back_one^back)
+        for c in range(combo_count):
+            for back in taps.combos[c]:
+                zb = F.ext_mul_np(z, _base_pow_ext(back_one, back))
+                q, rem = hal.poly_divide_ext(combos[c : c + 1], jnp.asarray(zb))
+                assert not np.any(np.asarray(rem)), f"combo {c} remainder != 0"
+                combos = combos.at[c].set(q[0])
+        q, rem = hal.poly_divide_ext(combos[combo_count:], jnp.asarray(z_pow))
+        assert not np.any(np.asarray(rem)), "check combo remainder != 0"
+        combos = combos.at[combo_count].set(q[0])
+
+        # sum combos into the final FRI polynomial, planar + bit-reversed
+        final_coeffs = hal.eltwise_sum_extelem(combos)  # (4, cycles)
+        final_coeffs = ntt.bit_reverse(final_coeffs)
+
+        def inner(iop_, idx):
+            for pg in self.groups:
+                pg.merkle.prove(iop_, idx)
+            check_group.merkle.prove(iop_, idx)
+
+        fri_prove(iop, final_coeffs, inner)
+        return iop.proof
+
+
+def _base_pow_ext(base_mont: int, e: int) -> np.ndarray:
+    """(base^e) as an ext element, base a Montgomery-form int."""
+    out = np.zeros(4, np.uint32)
+    out[0] = F.s_pow(base_mont, e)
+    return out

@@ -1,0 +1,103 @@
+"""Hash conformance against reference golden vectors.
+
+Golden values from reference tests:
+  - poseidon2 permutation: risc0/zkp/src/core/hash/poseidon2/mod.rs `poseidon2_test_vectors`
+  - hash_elem_slice golden: same file, `hash_elem_slice_compare_golden{,_unaligned}`
+  - sha rng: risc0/zkp/src/core/hash/sha/rng.rs `test_sha_rng_impl`
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from risc0_tpu import field as F
+from risc0_tpu.hash import poseidon2 as p2
+from risc0_tpu.hash import sha256 as sha
+from risc0_tpu.hash.suite import POSEIDON2, SHA256, ShaRng
+
+
+def test_poseidon2_permutation_vector():
+    inp = F.encode_np(np.arange(24, dtype=np.uint32))
+    out = p2.permute_np(inp)
+    goal = [
+        0x2ED3E23D, 0x12921FB0, 0x0E659E79, 0x61D81DC9, 0x32BAE33B, 0x62486AE3,
+        0x1E681B60, 0x24B91325, 0x2A2EF5B9, 0x50E8593E, 0x5BC818EC, 0x10691997,
+        0x35A14520, 0x2BA6A3C5, 0x279D47EC, 0x55014E81, 0x5953A67F, 0x2F403111,
+        0x6B8828FF, 0x1801301F, 0x2749207A, 0x3DC9CF21, 0x3C985BA2, 0x57A99864,
+    ]
+    assert list(F.decode_np(out)) == goal
+
+
+def test_poseidon2_permutation_jnp_matches_np(rng):
+    states = rng.integers(0, F.P, size=(32, 24), dtype=np.uint32)
+    got = np.asarray(p2.permute(jnp.asarray(states)))
+    want = np.stack([p2.permute_np(s) for s in states])
+    assert np.array_equal(got, want)
+
+
+def test_hash_elem_slice_golden():
+    vals = [
+        943718400, 1887436800, 2013125296, 1761607679, 692060158, 1761607634,
+        566231037, 1509949437, 440401916, 1384120316, 314572795, 1258291195,
+        188743674, 1132462074, 62914553, 1006632953, 1950351353, 880803832,
+        1824522232, 754974711, 1698693111, 629145590, 1572863990, 503316469,
+        1447034869, 377487348, 1321205748, 251658227, 1195376627, 125829106,
+        1069547506, 2013265906,
+    ]
+    digest = POSEIDON2.hash_elem_slice(F.encode_np(np.array(vals, np.uint32)))
+    goal = [0x722BAADA, 0x5B352FED, 0x3684017B, 0x540D4A7B,
+            0x44FFD422, 0x48615F97, 0x1A496F45, 0x203CA999]
+    assert list(F.decode_np(digest)) == goal
+
+
+def test_hash_elem_slice_golden_unaligned():
+    vals = [
+        943718400, 1887436800, 2013125296, 1761607679, 692060158, 1635778558,
+        566231037, 1509949437, 440401916, 1384120316, 314572795, 1258291195,
+        188743674, 1132462074, 62914553, 1006632953, 1950351353,
+    ]
+    digest = POSEIDON2.hash_elem_slice(F.encode_np(np.array(vals, np.uint32)))
+    goal = [0x622615D7, 0x1CFE9764, 0x166CB1C9, 0x76FEBCDE,
+            0x6056219F, 0x326359CF, 0x5C2CCA75, 0x233DC3FF]
+    assert list(F.decode_np(digest)) == goal
+
+
+def test_sha_basics():
+    d = sha.hash_bytes(b"abc")
+    assert d.tobytes().hex() == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
+
+
+def test_sha_rng_reference_vector():
+    x = ShaRng()
+    for _ in range(10):
+        x.next_u32()
+    assert x.next_u32() == 785921476
+    x.mix(sha.hash_bytes(b"foo"))
+    assert x.next_u32() == 4167871101
+
+
+def test_device_hash_rows_matches_host(rng):
+    cols, rows = 21, 64  # non-multiple of rate to hit the padded tail
+    matrix = rng.integers(0, F.P, size=(cols, rows), dtype=np.uint32)
+    got = np.asarray(p2.hash_rows(jnp.asarray(matrix)))
+    want = np.stack([p2.unpadded_hash_np(matrix[:, r]) for r in range(rows)])
+    assert np.array_equal(got, want)
+
+
+def test_device_hash_pairs_matches_host(rng):
+    l = rng.integers(0, F.P, size=(16, 8), dtype=np.uint32)
+    r = rng.integers(0, F.P, size=(16, 8), dtype=np.uint32)
+    got = np.asarray(p2.hash_pairs(jnp.asarray(l), jnp.asarray(r)))
+    want = np.stack([p2.hash_pair_np(l[i], r[i]) for i in range(16)])
+    assert np.array_equal(got, want)
+
+
+def test_sha_suite_hash_pair_matches_hash_raw():
+    # hash_pair is compress of a||b; check determinism + digest convention
+    a = sha.hash_bytes(b"a")
+    b = sha.hash_bytes(b"b")
+    d1 = SHA256.hash_pair(a, b)
+    d2 = SHA256.hash_pair(a, b)
+    assert np.array_equal(d1, d2)
+    assert not np.array_equal(d1, a)
