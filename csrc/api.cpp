@@ -1,0 +1,246 @@
+// C API for Python (ctypes) bindings.
+
+#include "r0vm.h"
+
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+using namespace r0;
+
+extern "C" {
+
+// read: fill buf up to len, return rlen; write: consume buf, return rlen.
+// `machine` is an opaque handle usable with r0_machine_* peeks during the call.
+typedef uint32_t (*r0_host_read_fn)(void* user, void* machine, uint32_t fd,
+                                    uint8_t* buf, uint32_t len);
+typedef uint32_t (*r0_host_write_fn)(void* user, void* machine, uint32_t fd,
+                                     const uint8_t* buf, uint32_t len);
+
+// Flat segment view passed to Python; memory owned by the callee for the
+// duration of the callback only.
+struct R0Segment {
+  uint64_t index;
+  uint32_t po2;
+  uint32_t suspend_cycle;
+  uint32_t paging_cycles;
+  uint32_t segment_threshold;
+  uint32_t has_output;
+  uint32_t has_terminate;
+  uint32_t terminate_a0, terminate_a1;
+  uint32_t pre_digest[8], post_digest[8], input_digest[8], output_digest[8];
+  uint64_t num_pages;
+  const uint32_t* page_indexes;   // [num_pages]
+  const uint8_t* page_data;       // [num_pages * 1024]
+  uint64_t num_digests;
+  const uint32_t* digest_indexes; // [num_digests]
+  const uint32_t* digest_words;   // [num_digests * 8]
+  uint64_t read_record_len;       // total bytes
+  const uint8_t* read_record;     // concatenated
+  uint64_t num_reads;
+  const uint64_t* read_lens;      // [num_reads]
+  uint64_t num_writes;
+  const uint32_t* write_lens;     // [num_writes]
+};
+
+typedef void (*r0_segment_fn)(void* user, const R0Segment* seg);
+
+struct R0Result {
+  uint64_t segments;
+  uint64_t user_cycles;
+  uint64_t total_cycles;
+  uint64_t paging_cycles;
+  uint64_t reserved_cycles;
+  uint32_t pre_state[8], post_state[8], input[8], output[8];
+  uint32_t has_output;
+  uint32_t has_terminate;
+  uint32_t terminate_a0, terminate_a1;
+};
+
+namespace {
+
+struct CallbackIO : HostIO {
+  void* user;
+  r0_host_read_fn on_read;
+  r0_host_write_fn on_write;
+  uint32_t host_read(uint32_t fd, uint8_t* buf, uint32_t len) override {
+    return on_read ? on_read(user, machine_handle, fd, buf, len) : 0;
+  }
+  uint32_t host_write(uint32_t fd, const uint8_t* buf, uint32_t len) override {
+    return on_write ? on_write(user, machine_handle, fd, buf, len) : len;
+  }
+};
+
+struct SegmentForwarder {
+  void* user;
+  r0_segment_fn fn;
+};
+
+void forward_segment(void* fwd_ptr, const Segment& seg) {
+  auto* fwd = static_cast<SegmentForwarder*>(fwd_ptr);
+  if (!fwd->fn) return;
+
+  std::vector<uint32_t> page_indexes;
+  std::vector<uint8_t> page_data;
+  page_indexes.reserve(seg.pages.size());
+  page_data.reserve(seg.pages.size() * PAGE_BYTES);
+  for (auto& [idx, page] : seg.pages) {
+    page_indexes.push_back(idx);
+    page_data.insert(page_data.end(), page->data.begin(), page->data.end());
+  }
+  std::vector<uint32_t> digest_indexes;
+  std::vector<uint32_t> digest_words;
+  for (auto& [idx, d] : seg.page_digests) {
+    digest_indexes.push_back(idx);
+    for (uint32_t w : d) digest_words.push_back(w);
+  }
+  std::vector<uint8_t> reads;
+  std::vector<uint64_t> read_lens;
+  for (auto& r : seg.read_record) {
+    reads.insert(reads.end(), r.begin(), r.end());
+    read_lens.push_back(r.size());
+  }
+
+  R0Segment out{};
+  out.index = seg.index;
+  out.po2 = seg.po2;
+  out.suspend_cycle = seg.suspend_cycle;
+  out.paging_cycles = seg.paging_cycles;
+  out.segment_threshold = seg.segment_threshold;
+  out.has_output = seg.output_digest.has_value();
+  out.has_terminate = seg.terminate_state.has_value();
+  if (seg.terminate_state) {
+    out.terminate_a0 = seg.terminate_state->a0;
+    out.terminate_a1 = seg.terminate_state->a1;
+  }
+  std::memcpy(out.pre_digest, seg.pre_digest.data(), 32);
+  std::memcpy(out.post_digest, seg.post_digest.data(), 32);
+  std::memcpy(out.input_digest, seg.input_digest.data(), 32);
+  if (seg.output_digest)
+    std::memcpy(out.output_digest, seg.output_digest->data(), 32);
+  out.num_pages = page_indexes.size();
+  out.page_indexes = page_indexes.data();
+  out.page_data = page_data.data();
+  out.num_digests = digest_indexes.size();
+  out.digest_indexes = digest_indexes.data();
+  out.digest_words = digest_words.data();
+  out.read_record_len = reads.size();
+  out.read_record = reads.data();
+  out.num_reads = read_lens.size();
+  out.read_lens = read_lens.data();
+  out.num_writes = seg.write_record.size();
+  out.write_lens = seg.write_record.data();
+  fwd->fn(fwd->user, &out);
+}
+
+thread_local std::string g_error;
+
+}  // namespace
+
+const char* r0_last_error() { return g_error.c_str(); }
+
+uint32_t r0_machine_peek(void* machine, uint32_t waddr) {
+  return machine_peek(machine, waddr);
+}
+
+uint32_t r0_machine_user_reg(void* machine, uint32_t idx) {
+  return machine_user_reg(machine, idx);
+}
+
+uint64_t r0_machine_user_cycles(void* machine) {
+  return machine_user_cycles(machine);
+}
+
+void r0_machine_peek_region(void* machine, uint32_t byte_addr, uint32_t len,
+                            uint8_t* out) {
+  for (uint32_t i = 0; i < len; i++) {
+    uint32_t w = machine_peek(machine, (byte_addr + i) / 4);
+    out[i] = (w >> (8 * ((byte_addr + i) & 3))) & 0xff;
+  }
+}
+
+// Compute the image id of a user+kernel ELF pair; returns 0 on success.
+int r0_compute_image_id(const uint8_t* user_elf, uint64_t user_len,
+                        const uint8_t* kernel_elf, uint64_t kernel_len,
+                        uint32_t out_digest[8]) {
+  try {
+    Program user = Program::load_elf(user_elf, user_len, USER_END);
+    Program kernel = Program::load_elf(kernel_elf, kernel_len, 0xffff'ffff);
+    MemoryImage image = MemoryImage::with_kernel(user, kernel);
+    Digest id = image.image_id();
+    std::memcpy(out_digest, id.data(), 32);
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return 1;
+  }
+}
+
+// Execute a user+kernel ELF pair.  Returns 0 on success.
+int r0_execute_elf(const uint8_t* user_elf, uint64_t user_len,
+                   const uint8_t* kernel_elf, uint64_t kernel_len,
+                   uint32_t segment_po2, uint64_t max_cycles,
+                   const uint32_t input_digest[8], void* io_user,
+                   r0_host_read_fn on_read, r0_host_write_fn on_write,
+                   void* seg_user, r0_segment_fn on_segment,
+                   R0Result* result) {
+  try {
+    Program user = Program::load_elf(user_elf, user_len, USER_END);
+    Program kernel = Program::load_elf(kernel_elf, kernel_len, 0xffff'ffff);
+    MemoryImage image = MemoryImage::with_kernel(user, kernel);
+
+    CallbackIO io;
+    io.user = io_user;
+    io.on_read = on_read;
+    io.on_write = on_write;
+
+    Digest input{};
+    if (input_digest) std::memcpy(input.data(), input_digest, 32);
+
+    SegmentForwarder fwd{seg_user, on_segment};
+    ExecResult res = execute(std::move(image), segment_po2, max_cycles, input,
+                             io, &fwd, forward_segment);
+
+    result->segments = res.segments;
+    result->user_cycles = res.user_cycles;
+    result->total_cycles = res.total_cycles;
+    result->paging_cycles = res.paging_cycles;
+    result->reserved_cycles = res.reserved_cycles;
+    std::memcpy(result->pre_state, res.pre_state.data(), 32);
+    std::memcpy(result->post_state, res.post_state.data(), 32);
+    std::memcpy(result->input, res.input.data(), 32);
+    result->has_output = res.output.has_value();
+    if (res.output) std::memcpy(result->output, res.output->data(), 32);
+    result->has_terminate = res.terminate_state.has_value();
+    if (res.terminate_state) {
+      result->terminate_a0 = res.terminate_state->a0;
+      result->terminate_a1 = res.terminate_state->a1;
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return 1;
+  }
+}
+
+// Poseidon2 page digest of 1KiB of data (for tests / Python-side image ops).
+int r0_page_digest(const uint8_t* data, uint32_t out_digest[8]) {
+  Page page;
+  std::memcpy(page.data.data(), data, PAGE_BYTES);
+  Digest d = page.digest();
+  std::memcpy(out_digest, d.data(), 32);
+  return 0;
+}
+
+int r0_digest_pair(const uint32_t lhs[8], const uint32_t rhs[8],
+                   uint32_t out_digest[8]) {
+  Digest l, r;
+  std::memcpy(l.data(), lhs, 32);
+  std::memcpy(r.data(), rhs, 32);
+  Digest d = digest_pair(l, r);
+  std::memcpy(out_digest, d.data(), 32);
+  return 0;
+}
+
+}  // extern "C"

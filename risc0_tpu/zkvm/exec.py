@@ -1,0 +1,358 @@
+"""zkVM host: ExecutorEnv, syscall table, sessions and segments.
+
+Mirrors the reference host layer (risc0/zkvm/src/host/{client/env.rs,
+server/exec/executor.rs, server/exec/syscall/*}): the guest's v1 ABI SOFTWARE
+ecalls are translated by the embedded v1compat kernel into machine READ/WRITE
+host ecalls; `fd` in a host read is either 0 (fetch the cached (a0, a1) return
+pair) or a guest pointer to a NUL-terminated syscall name dispatched through
+the syscall table.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import io as _io
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import native
+
+WORD_SIZE = 4
+MAX_IO_BYTES = 1024
+
+# fileno (reference platform/src/lib.rs:41-46)
+STDIN, STDOUT, STDERR, JOURNAL = 0, 1, 2, 3
+
+_NR = "risc0_zkvm_platform::syscall::nr::"
+SYS_ARGC = _NR + "SYS_ARGC"
+SYS_ARGV = _NR + "SYS_ARGV"
+SYS_CYCLE_COUNT = _NR + "SYS_CYCLE_COUNT"
+SYS_GETENV = _NR + "SYS_GETENV"
+SYS_LOG = _NR + "SYS_LOG"
+SYS_PANIC = _NR + "SYS_PANIC"
+SYS_RANDOM = _NR + "SYS_RANDOM"
+SYS_READ = _NR + "SYS_READ"
+SYS_WRITE = _NR + "SYS_WRITE"
+
+V1COMPAT_ELF_PATH = os.environ.get(
+    "RISC0_TPU_V1COMPAT",
+    "/root/reference/risc0/zkos/v1compat/elfs/v1compat.elf")
+
+REG_A3, REG_A4, REG_A5 = 13, 14, 15
+
+
+class GuestPanic(Exception):
+    pass
+
+
+@dataclass
+class ExecutorEnv:
+    """Builder-style env (reference host/client/env.rs:40-445)."""
+
+    input: bytes = b""
+    env_vars: dict = field(default_factory=dict)
+    args: list = field(default_factory=list)
+    segment_po2: int = 20
+    session_limit: int | None = None
+    write_fds: dict = field(default_factory=dict)  # fd -> file-like
+    read_fds: dict = field(default_factory=dict)   # fd -> file-like
+
+    def write_slice(self, data: bytes) -> "ExecutorEnv":
+        self.input += bytes(data)
+        return self
+
+    def write_frame(self, payload: bytes) -> "ExecutorEnv":
+        self.input += len(payload).to_bytes(4, "little") + bytes(payload)
+        return self
+
+
+@dataclass
+class SegmentInfo:
+    index: int
+    po2: int
+    user_cycles: int
+    paging_cycles: int
+    pre_digest: np.ndarray
+    post_digest: np.ndarray
+    input_digest: np.ndarray
+    output_digest: np.ndarray | None
+    terminate_state: tuple | None
+    pages: dict          # page_idx -> bytes(1024)
+    page_digests: dict   # node_idx -> np.ndarray(8)
+    read_record: list
+    write_record: list
+
+
+@dataclass
+class Session:
+    segments: list
+    journal: bytes
+    exit_code: tuple  # (kind, code): ("Halted", c) | ("SessionLimit",)
+    user_cycles: int
+    total_cycles: int
+    paging_cycles: int
+    reserved_cycles: int
+    pre_state: np.ndarray
+    post_state: np.ndarray
+    input_digest: np.ndarray
+    output_digest: np.ndarray | None
+
+
+class _SyscallState:
+    """Per-run syscall machinery (reference exec/executor.rs:340-420)."""
+
+    def __init__(self, env: ExecutorEnv, lib):
+        self.env = env
+        self.lib = lib
+        self.return_cache = (0, 0)
+        self.stdin = _io.BytesIO(env.input)
+        self.journal = _io.BytesIO()
+        self.stdout = _io.BytesIO()
+        self.stderr = _io.BytesIO()
+        self.readers = {STDIN: self.stdin, **env.read_fds}
+        self.writers = {
+            STDOUT: self.stdout, STDERR: self.stderr, JOURNAL: self.journal,
+            **env.write_fds,
+        }
+        self.error: Exception | None = None
+
+    # -- machine peeks -------------------------------------------------------
+    def peek_string(self, machine, addr: int) -> str:
+        out = bytearray()
+        while True:
+            buf = (C.c_uint8 * 64)()
+            self.lib.r0_machine_peek_region(machine, addr, 64, buf)
+            chunk = bytes(buf)
+            if b"\0" in chunk:
+                out += chunk[: chunk.index(b"\0")]
+                return out.decode()
+            out += chunk
+            addr += 64
+            if len(out) > 4096:
+                raise RuntimeError("unterminated syscall name")
+
+    def peek_region(self, machine, addr: int, length: int) -> bytes:
+        buf = (C.c_uint8 * max(length, 1))()
+        self.lib.r0_machine_peek_region(machine, addr, length, buf)
+        return bytes(buf[:length])
+
+    def user_reg(self, machine, idx: int) -> int:
+        return self.lib.r0_machine_user_reg(machine, idx)
+
+    # -- host read/write entry points ---------------------------------------
+    def host_read(self, machine, fd: int, buf_len: int) -> bytes:
+        if fd == 0:
+            a0, a1 = self.return_cache
+            return a0.to_bytes(4, "little") + a1.to_bytes(4, "little")
+        name = self.peek_string(machine, fd)
+        words = (buf_len + WORD_SIZE - 1) // WORD_SIZE
+        to_guest = bytearray(words * WORD_SIZE)
+        self.return_cache = self.dispatch(machine, name, to_guest)
+        return bytes(to_guest[:buf_len])
+
+    def host_write(self, machine, fd: int, data: bytes) -> int:
+        # kernel-side log write (reference executor.rs:397-401)
+        self.stderr.write(data)
+        return len(data)
+
+    # -- syscall table -------------------------------------------------------
+    def dispatch(self, machine, name: str, to_guest: bytearray):
+        if name == SYS_READ:
+            return self._sys_read(machine, to_guest)
+        if name == SYS_WRITE:
+            return self._sys_write(machine)
+        if name == SYS_LOG:
+            ptr = self.user_reg(machine, REG_A3)
+            ln = self.user_reg(machine, REG_A4)
+            msg = self.peek_region(machine, ptr, ln)
+            cycle = self.lib.r0_machine_user_cycles(machine)
+            self.stdout.write(b"R0VM[%d] " % cycle + msg + b"\n")
+            return (0, 0)
+        if name == SYS_GETENV:
+            ptr = self.user_reg(machine, REG_A3)
+            ln = self.user_reg(machine, REG_A4)
+            key = self.peek_region(machine, ptr, ln).decode()
+            val = self.env_get(key)
+            if val is None:
+                return (0xFFFFFFFF, 0)
+            vb = val.encode()
+            n = min(len(to_guest), len(vb))
+            to_guest[:n] = vb[:n]
+            return (len(vb), 0)
+        if name == SYS_CYCLE_COUNT:
+            cycle = self.lib.r0_machine_user_cycles(machine)
+            return (cycle >> 32, cycle & 0xFFFFFFFF)
+        if name == SYS_RANDOM:
+            rnd = os.urandom(len(to_guest))
+            to_guest[:] = rnd
+            return (len(to_guest), 0)
+        if name == SYS_PANIC:
+            ptr = self.user_reg(machine, REG_A3)
+            ln = self.user_reg(machine, REG_A4)
+            msg = self.peek_region(machine, ptr, ln).decode(errors="replace")
+            raise GuestPanic(msg)
+        if name == SYS_ARGC:
+            return (len(self.env.args), 0)
+        if name == SYS_ARGV:
+            idx = self.user_reg(machine, REG_A3)
+            arg = self.env.args[idx].encode()
+            n = min(len(to_guest), len(arg))
+            to_guest[:n] = arg[:n]
+            return (len(arg), 0)
+        raise RuntimeError(f"Unknown syscall: {name}")
+
+    def env_get(self, key):
+        return self.env.env_vars.get(key)
+
+    def _sys_read(self, machine, to_guest: bytearray):
+        fd = self.user_reg(machine, REG_A3)
+        nbytes = self.user_reg(machine, REG_A4)
+        reader = self.readers.get(fd)
+        if reader is None:
+            raise RuntimeError(f"Bad read fd: {fd}")
+        main = reader.read(len(to_guest))
+        main = main or b""
+        to_guest[: len(main)] = main
+        unaligned_end = nbytes - len(main) if nbytes - len(main) <= WORD_SIZE else 0
+        tail = reader.read(unaligned_end) if unaligned_end else b""
+        tail_word = int.from_bytes((tail or b"").ljust(4, b"\0"), "little")
+        return (len(main) + len(tail or b""), tail_word)
+
+    def _sys_write(self, machine):
+        fd = self.user_reg(machine, REG_A3)
+        ptr = self.user_reg(machine, REG_A4)
+        ln = self.user_reg(machine, REG_A5)
+        data = self.peek_region(machine, ptr, ln)
+        writer = self.writers.get(fd)
+        if writer is None:
+            raise RuntimeError(f"Bad write fd: {fd}")
+        writer.write(data)
+        return (0, 0)
+
+
+def _digest_np(arr) -> np.ndarray:
+    return np.array(list(arr), np.uint32)
+
+
+class ExecutorImpl:
+    """Execute a guest ELF (+kernel) into a Session of segments
+    (reference host/server/exec/executor.rs:54-330)."""
+
+    def __init__(self, env: ExecutorEnv, user_elf: bytes,
+                 kernel_elf: bytes | None = None):
+        self.env = env
+        self.user_elf = bytes(user_elf)
+        if kernel_elf is None:
+            with open(V1COMPAT_ELF_PATH, "rb") as f:
+                kernel_elf = f.read()
+        self.kernel_elf = bytes(kernel_elf)
+
+    @staticmethod
+    def from_program_binary(env: ExecutorEnv, blob: bytes) -> "ExecutorImpl":
+        from .binfmt import ProgramBinary
+
+        pb = ProgramBinary.decode(blob)
+        return ExecutorImpl(env, pb.user_elf, pb.kernel_elf)
+
+    def compute_image_id(self) -> np.ndarray:
+        lib = native.lib()
+        out = (C.c_uint32 * 8)()
+        rc = lib.r0_compute_image_id(self.user_elf, len(self.user_elf),
+                                     self.kernel_elf, len(self.kernel_elf), out)
+        if rc != 0:
+            raise RuntimeError(lib.r0_last_error().decode())
+        return _digest_np(out)
+
+    def run(self, segment_callback=None) -> Session:
+        lib = native.lib()
+        state = _SyscallState(self.env, lib)
+        segments: list[SegmentInfo] = []
+
+        def on_read(user, machine, fd, buf, length):
+            try:
+                data = state.host_read(machine, fd, length)
+                n = min(len(data), length)
+                C.memmove(buf, data, n)
+                return n
+            except Exception as e:  # propagate after native frame unwinds
+                state.error = e
+                return 0
+
+        def on_write(user, machine, fd, buf, length):
+            try:
+                data = C.string_at(buf, length)
+                return state.host_write(machine, fd, data)
+            except Exception as e:
+                state.error = e
+                return 0
+
+        def on_segment(user, seg_ptr):
+            seg = seg_ptr.contents
+            pages = {}
+            for i in range(seg.num_pages):
+                idx = seg.page_indexes[i]
+                pages[idx] = C.string_at(
+                    C.addressof(seg.page_data.contents) + i * 1024, 1024)
+            digests = {}
+            for i in range(seg.num_digests):
+                digests[seg.digest_indexes[i]] = np.array(
+                    seg.digest_words[i * 8 : (i + 1) * 8], np.uint32)
+            reads, off = [], 0
+            raw = C.string_at(seg.read_record, seg.read_record_len) \
+                if seg.read_record_len else b""
+            for i in range(seg.num_reads):
+                ln = seg.read_lens[i]
+                reads.append(raw[off : off + ln])
+                off += ln
+            info = SegmentInfo(
+                index=seg.index, po2=seg.po2,
+                user_cycles=seg.suspend_cycle, paging_cycles=seg.paging_cycles,
+                pre_digest=_digest_np(seg.pre_digest),
+                post_digest=_digest_np(seg.post_digest),
+                input_digest=_digest_np(seg.input_digest),
+                output_digest=_digest_np(seg.output_digest) if seg.has_output else None,
+                terminate_state=(seg.terminate_a0, seg.terminate_a1)
+                if seg.has_terminate else None,
+                pages=pages, page_digests=digests,
+                read_record=reads,
+                write_record=[seg.write_lens[i] for i in range(seg.num_writes)],
+            )
+            segments.append(info)
+            if segment_callback:
+                segment_callback(info)
+
+        read_cb = native.HOST_READ_FN(on_read)
+        write_cb = native.HOST_WRITE_FN(on_write)
+        seg_cb = native.SEGMENT_FN(on_segment)
+
+        result = native.R0Result()
+        input_digest = (C.c_uint32 * 8)()  # zero digest default
+        rc = lib.r0_execute_elf(
+            self.user_elf, len(self.user_elf),
+            self.kernel_elf, len(self.kernel_elf),
+            self.env.segment_po2, self.env.session_limit or 0,
+            input_digest, None, read_cb, write_cb, None, seg_cb,
+            C.byref(result))
+        if state.error is not None:
+            raise state.error
+        if rc != 0:
+            raise RuntimeError(lib.r0_last_error().decode())
+
+        # exit code from terminate a0 (v1 ABI: user exit code in upper bits)
+        exit_code = ("Halted", result.terminate_a0) \
+            if result.has_terminate else ("SessionLimit",)
+        return Session(
+            segments=segments,
+            journal=state.journal.getvalue(),
+            exit_code=exit_code,
+            user_cycles=result.user_cycles,
+            total_cycles=result.total_cycles,
+            paging_cycles=result.paging_cycles,
+            reserved_cycles=result.reserved_cycles,
+            pre_state=_digest_np(result.pre_state),
+            post_state=_digest_np(result.post_state),
+            input_digest=_digest_np(result.input),
+            output_digest=_digest_np(result.output) if result.has_output else None,
+        )

@@ -1,0 +1,93 @@
+"""rv32im executor tests, driven by the reference's prebuilt loop guest
+(risc0/zkvm/examples/loop.bin + the v1compat kernel).
+
+Mirrors the reference's executor test strategy (host/server/exec/tests.rs):
+session runs, cycle accounting, segmentation, image ids.
+"""
+
+import numpy as np
+import pytest
+
+from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
+
+LOOP_ELF_PATH = "/root/reference/risc0/zkvm/examples/loop.bin"
+
+
+@pytest.fixture(scope="module")
+def loop_elf():
+    with open(LOOP_ELF_PATH, "rb") as f:
+        return f.read()
+
+
+def run_loop(loop_elf, count, po2=16, **kw):
+    env = ExecutorEnv(segment_po2=po2, **kw).write_slice(
+        count.to_bytes(4, "little"))
+    return ExecutorImpl(env, loop_elf).run()
+
+
+def test_basic_run(loop_elf):
+    s = run_loop(loop_elf, 0)
+    assert s.exit_code == ("Halted", 0)
+    assert len(s.segments) == 1
+    assert s.total_cycles == 1 << 14  # rounds up to next po2
+    assert s.user_cycles > 0
+
+
+def test_cycles_scale_with_count(loop_elf):
+    s0 = run_loop(loop_elf, 100)
+    s1 = run_loop(loop_elf, 200)
+    assert s1.user_cycles > s0.user_cycles
+    # ~2 cycles per loop iteration
+    delta = s1.user_cycles - s0.user_cycles
+    assert 150 <= delta <= 250
+
+
+def test_full_po2_20_segment(loop_elf):
+    # reference datasheet.rs:58: this count exactly fills one po2=20 segment
+    count = 1024 * 494 + 817
+    s = run_loop(loop_elf, count, po2=20)
+    assert len(s.segments) == 1
+    assert s.total_cycles == 1 << 20
+
+
+def test_multi_segment_split(loop_elf):
+    count = 1024 * 494 + 818  # one more than fits
+    s = run_loop(loop_elf, count, po2=16)
+    assert len(s.segments) > 2
+    # chained claims: each segment's post == next segment's pre
+    for a, b in zip(s.segments, s.segments[1:]):
+        assert np.array_equal(a.post_digest, b.pre_digest)
+    assert np.array_equal(s.segments[0].pre_digest, s.pre_state)
+    assert np.array_equal(s.segments[-1].post_digest, s.post_state)
+    # only the last segment terminates
+    assert all(seg.terminate_state is None for seg in s.segments[:-1])
+    assert s.segments[-1].terminate_state is not None
+    # non-final segments claim the full po2 cycle budget via threshold
+    for seg in s.segments[:-1]:
+        assert seg.po2 == 16
+
+
+def test_image_id_deterministic(loop_elf):
+    env = ExecutorEnv()
+    a = ExecutorImpl(env, loop_elf).compute_image_id()
+    b = ExecutorImpl(env, loop_elf).compute_image_id()
+    assert np.array_equal(a, b)
+    assert a.dtype == np.uint32
+    # digests are standard-form BabyBear shorts -> all words < P
+    assert np.all(a < 2013265921)
+
+
+def test_session_limit(loop_elf):
+    with pytest.raises(RuntimeError, match="limit"):
+        run_loop(loop_elf, 10_000_000, po2=16, session_limit=10_000)
+
+
+def test_segments_contain_touched_pages(loop_elf):
+    s = run_loop(loop_elf, 100)
+    seg = s.segments[0]
+    assert len(seg.pages) > 0
+    assert all(len(p) == 1024 for p in seg.pages.values())
+    assert len(seg.page_digests) > 0
+    # read_record captured the stdin word
+    total_read = b"".join(seg.read_record)
+    assert (100).to_bytes(4, "little") in total_read
