@@ -1,0 +1,246 @@
+"""Distributed proving scheduler — the actor-cluster replacement.
+
+Mirrors the reference's kameo actor system structure (r0vm/src/actors/
+{manager,factory,worker}.rs + job/proof.rs) with a host-side task scheduler:
+
+  * tasks are *pulled* by workers subscribing to task kinds (reference
+    protocol.rs:163-166 GetTask{worker_id, kinds}), giving natural load
+    balancing;
+  * a ProofJob runs the streaming DAG: Execute emits segments ->
+    ProveSegment -> Lift -> greedy adjacent-range binary Join tree
+    (job/proof.rs:307-326) -> Resolve chain;
+  * heterogeneous pools: execute/preflight on CPU workers, prove/lift/join
+    on TPU workers (reference actors/worker.rs:78-607).
+
+On one host this runs with thread pools; the same task protocol serializes
+over sockets for multi-host deployment (segments are MB-scale payloads,
+receipts ~100-300KB — DCN-friendly, see SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Callable
+
+
+class TaskKind(Enum):
+    EXECUTE = "execute"
+    PROVE_SEGMENT = "prove_segment"
+    LIFT = "lift"
+    JOIN = "join"
+    UNION = "union"
+    RESOLVE = "resolve"
+    SHRINK_WRAP = "shrink_wrap"
+
+
+@dataclass
+class Task:
+    kind: TaskKind
+    job_id: int
+    payload: Any
+    task_id: int = 0
+
+
+@dataclass
+class TaskDone:
+    task: Task
+    result: Any = None
+    error: Exception | None = None
+
+
+class Factory:
+    """Task queue router by kind (reference actors/factory.rs:37-208)."""
+
+    def __init__(self):
+        self._queues: dict[TaskKind, queue.Queue] = {
+            k: queue.Queue() for k in TaskKind}
+        self._done: dict[int, queue.Queue] = {}
+        self._lock = threading.Lock()
+
+    def submit(self, task: Task):
+        self._queues[task.kind].put(task)
+
+    def get_task(self, kinds: list[TaskKind], timeout=0.05) -> Task | None:
+        """Pull a task of any subscribed kind (reference GetTask)."""
+        for k in kinds:
+            try:
+                return self._queues[k].get_nowait()
+            except queue.Empty:
+                continue
+        # block briefly on the first kind to avoid spinning
+        try:
+            return self._queues[kinds[0]].get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def job_channel(self, job_id: int) -> queue.Queue:
+        with self._lock:
+            return self._done.setdefault(job_id, queue.Queue())
+
+    def task_done(self, done: TaskDone):
+        self.job_channel(done.task.job_id).put(done)
+
+
+class Worker:
+    """Pulls tasks by kind and runs them through a processor
+    (reference actors/worker.rs:101-132)."""
+
+    def __init__(self, factory: Factory, kinds: list[TaskKind],
+                 processor: Callable[[Task], Any], name="worker"):
+        self.factory = factory
+        self.kinds = kinds
+        self.processor = processor
+        self.name = name
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name=name)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def _run(self):
+        while not self._stop.is_set():
+            task = self.factory.get_task(self.kinds)
+            if task is None:
+                continue
+            try:
+                result = self.processor(task)
+                self.factory.task_done(TaskDone(task, result=result))
+            except Exception as e:  # propagate to the job
+                self.factory.task_done(TaskDone(task, error=e))
+
+
+@dataclass
+class _LiftedRange:
+    """Contiguous range of lifted/joined receipts (reference job/proof.rs)."""
+
+    lo: int
+    hi: int  # inclusive
+    receipt: Any
+
+
+class ProofJob:
+    """Streaming proof DAG for one session
+    (reference r0vm/src/actors/job/proof.rs:185-399)."""
+
+    _next_id = [0]
+
+    def __init__(self, factory: Factory, prover, env, elf: bytes,
+                 receipt_kind: str = "succinct"):
+        self.factory = factory
+        self.prover = prover
+        self.env = env
+        self.elf = elf
+        self.receipt_kind = receipt_kind
+        ProofJob._next_id[0] += 1
+        self.job_id = ProofJob._next_id[0]
+        self._task_counter = 0
+
+    def _submit(self, kind: TaskKind, payload) -> None:
+        self._task_counter += 1
+        self.factory.submit(Task(kind, self.job_id, payload,
+                                 task_id=self._task_counter))
+
+    def run(self):
+        """Run the DAG to completion; returns (session, final_receipt)."""
+        from ..zkvm.claims import ExitCode
+        from ..zkvm.receipt import segment_claim, session_claim
+
+        chan = self.factory.job_channel(self.job_id)
+        self._submit(TaskKind.EXECUTE, (self.env, self.elf))
+
+        session = None
+        outstanding = 1
+        lifted: list[_LiftedRange] = []
+        segment_claims = {}
+
+        def try_join():
+            """Greedy adjacent-range binary join (job/proof.rs:307-326)."""
+            nonlocal outstanding
+            lifted.sort(key=lambda r: r.lo)
+            i = 0
+            while i + 1 < len(lifted):
+                a, b = lifted[i], lifted[i + 1]
+                if a.hi + 1 == b.lo:
+                    self._submit(TaskKind.JOIN, (a, b))
+                    outstanding += 1
+                    del lifted[i : i + 2]
+                else:
+                    i += 1
+
+        while outstanding > 0:
+            done: TaskDone = chan.get()
+            outstanding -= 1
+            if done.error is not None:
+                raise done.error
+            task, result = done.task, done.result
+            if task.kind == TaskKind.EXECUTE:
+                session = result
+                kind, *rest = session.exit_code
+                session_exit = ExitCode(kind, rest[0] if rest else 0)
+                claim = session_claim(session)
+                for i, seg in enumerate(session.segments):
+                    final = i == len(session.segments) - 1
+                    sc = segment_claim(seg, final, session_exit,
+                                       claim.output if final else None)
+                    segment_claims[seg.index] = sc
+                    self._submit(TaskKind.PROVE_SEGMENT, (seg, sc))
+                    outstanding += 1
+            elif task.kind == TaskKind.PROVE_SEGMENT:
+                seg, _ = task.payload
+                self._submit(TaskKind.LIFT, (seg.index, result))
+                outstanding += 1
+            elif task.kind == TaskKind.LIFT:
+                idx, _ = task.payload
+                lifted.append(_LiftedRange(idx, idx, result))
+                try_join()
+            elif task.kind == TaskKind.JOIN:
+                a, b = task.payload
+                lifted.append(_LiftedRange(a.lo, b.hi, result))
+                try_join()
+
+        assert len(lifted) == 1, f"join tree did not converge: {lifted}"
+        return session, lifted[0].receipt
+
+
+def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
+                     num_accel: int = 2) -> list[Worker]:
+    """Default single-host topology (reference actors/mod.rs:185-240):
+    CPU workers run execute, accelerator workers run prove/lift/join."""
+    from ..zkvm.exec import ExecutorImpl
+
+    def cpu_processor(task: Task):
+        if task.kind == TaskKind.EXECUTE:
+            env, elf = task.payload
+            return ExecutorImpl(env, elf).run()
+        raise RuntimeError(f"cpu worker got {task.kind}")
+
+    def accel_processor(task: Task):
+        if task.kind == TaskKind.PROVE_SEGMENT:
+            seg, claim = task.payload
+            return prover.prove_segment(seg, claim)
+        if task.kind == TaskKind.LIFT:
+            _, segment_receipt = task.payload
+            return prover.lift(segment_receipt)
+        if task.kind == TaskKind.JOIN:
+            a, b = task.payload
+            return prover.join(a.receipt, b.receipt)
+        raise RuntimeError(f"accel worker got {task.kind}")
+
+    workers = []
+    for i in range(num_cpu):
+        workers.append(Worker(factory, [TaskKind.EXECUTE], cpu_processor,
+                              f"cpu-{i}").start())
+    for i in range(num_accel):
+        workers.append(Worker(
+            factory, [TaskKind.PROVE_SEGMENT, TaskKind.LIFT, TaskKind.JOIN],
+            accel_processor, f"accel-{i}").start())
+    return workers

@@ -1,0 +1,133 @@
+"""Prover servers: options, dev-mode prover, local prover skeleton.
+
+Mirrors the reference ProverServer layer (risc0/zkvm/src/host/server/prove/
+{mod,prover_impl,dev_mode}.rs).  Round 1 implements the full session->receipt
+flow with the DevModeProver (FakeReceipts + simulated latencies, the
+scheduler-testing backend); the cryptographic rv32im SegmentProver plugs into
+the same interface when the circuit port lands.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from .exec import ExecutorEnv, ExecutorImpl, Session
+from .receipt import (CompositeReceipt, FakeReceipt, InnerReceipt, Receipt,
+                      SegmentReceipt, VerifierContext, is_dev_mode,
+                      segment_claim, session_claim)
+from .claims import ExitCode, MaybePruned, Output
+
+
+@dataclass
+class ProverOpts:
+    """reference host/server/prove/opts.rs:28-59"""
+
+    hashfn: str = "poseidon2"
+    receipt_kind: str = "composite"  # composite | succinct | groth16
+    max_segment_po2: int = 22
+    dev_mode: bool = field(default_factory=is_dev_mode)
+
+
+@dataclass
+class DevModeDelay:
+    """Simulated latencies for scheduler testing
+    (reference prove/dev_mode.rs:41-101)."""
+
+    execute: float = 0.0
+    segment_preflight: float = 0.0
+    prove_segment_core: float = 0.0
+    lift: float = 0.0
+    join: float = 0.0
+    resolve: float = 0.0
+
+
+@dataclass
+class ProveInfo:
+    receipt: Receipt
+    session: Session
+
+
+class ProverServer:
+    """Interface (reference prove/mod.rs:54-256)."""
+
+    def prove(self, env: ExecutorEnv, elf: bytes) -> ProveInfo:
+        session = ExecutorImpl(env, elf).run()
+        return self.prove_session(session)
+
+    def prove_session(self, session: Session) -> ProveInfo:
+        raise NotImplementedError
+
+    def prove_segment(self, seg, claim) -> SegmentReceipt:
+        raise NotImplementedError
+
+    def lift(self, segment_receipt):
+        raise NotImplementedError
+
+    def join(self, a, b):
+        raise NotImplementedError
+
+    def resolve(self, conditional, assumption):
+        raise NotImplementedError
+
+
+class DevModeProver(ProverServer):
+    """Produces FakeReceipts instantly (reference prove/dev_mode.rs)."""
+
+    def __init__(self, delay: DevModeDelay | None = None):
+        self.delay = delay or DevModeDelay()
+
+    def _sleep(self, t):
+        if t:
+            time.sleep(t)
+
+    def prove_session(self, session: Session) -> ProveInfo:
+        claim = session_claim(session)
+        receipts = []
+        kind, *rest = session.exit_code
+        session_exit = ExitCode(kind, rest[0] if rest else 0)
+        output = claim.output
+        for i, seg in enumerate(session.segments):
+            self._sleep(self.delay.prove_segment_core)
+            final = i == len(session.segments) - 1
+            sc = segment_claim(seg, final, session_exit, output)
+            receipts.append(FakeReceipt(sc))
+        composite = CompositeReceipt(segments=receipts)
+        receipt = Receipt(InnerReceipt("fake", FakeReceipt(claim)),
+                          session.journal)
+        return ProveInfo(receipt=receipt, session=session)
+
+    def prove_segment(self, seg, claim) -> FakeReceipt:
+        self._sleep(self.delay.prove_segment_core)
+        return FakeReceipt(claim)
+
+    def lift(self, segment_receipt):
+        self._sleep(self.delay.lift)
+        return FakeReceipt(segment_receipt.claim)
+
+    def join(self, a, b):
+        self._sleep(self.delay.join)
+        from .claims import ReceiptClaim
+
+        joined = ReceiptClaim(
+            pre=a.claim.pre, post=b.claim.post, exit_code=b.claim.exit_code,
+            input=a.claim.input, output=b.claim.output)
+        return FakeReceipt(joined)
+
+    def resolve(self, conditional, assumption):
+        self._sleep(self.delay.resolve)
+        return conditional
+
+
+def get_prover_server(opts: ProverOpts | None = None) -> ProverServer:
+    """reference prove/mod.rs:417-424"""
+    opts = opts or ProverOpts()
+    if opts.dev_mode:
+        return DevModeProver()
+    raise NotImplementedError(
+        "cryptographic rv32im prover lands with the circuit port; "
+        "set RISC0_DEV_MODE=1 for dev-mode proving")
+
+
+def default_prover() -> ProverServer:
+    return get_prover_server()

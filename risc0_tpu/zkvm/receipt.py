@@ -1,0 +1,202 @@
+"""Receipts: Fake/Segment/Composite/Succinct containers + verification entry.
+
+Mirrors the reference receipt layer (risc0/zkvm/src/receipt.rs:114-1008,
+receipt/{segment,composite,succinct}.rs).  Round-1 scope: the claim algebra,
+the container types, dev-mode FakeReceipt, and composite claim-chaining
+verification; cryptographic segment verification arrives with the rv32im
+circuit port.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .claims import (Assumptions, ExitCode, MaybePruned, Output, ReceiptClaim,
+                     bytes_digest, tagged_struct)
+
+DEFAULT_MAX_PO2 = 22  # reference receipt.rs:884
+
+
+class VerificationError(Exception):
+    pass
+
+
+def is_dev_mode() -> bool:
+    v = os.environ.get("RISC0_DEV_MODE", "")
+    return v.lower() not in ("", "0", "false", "no")
+
+
+@dataclass
+class VerifierContext:
+    """reference receipt.rs:888-1008"""
+
+    hashfn: str = "poseidon2"
+    max_po2: int = DEFAULT_MAX_PO2
+    dev_mode: bool = field(default_factory=is_dev_mode)
+
+
+@dataclass
+class FakeReceipt:
+    """Dev-mode receipt; proves nothing (reference receipt.rs FakeReceipt)."""
+
+    claim: ReceiptClaim
+
+    def verify_integrity(self, ctx: VerifierContext):
+        if not ctx.dev_mode:
+            raise VerificationError(
+                "fake receipt rejected: dev mode is not enabled")
+
+    def claim_digest(self) -> np.ndarray:
+        return self.claim.digest()
+
+
+@dataclass
+class SegmentReceipt:
+    """STARK proof of one segment (reference receipt/segment.rs)."""
+
+    seal: np.ndarray
+    index: int
+    hashfn: str
+    claim: ReceiptClaim
+    verifier_parameters: np.ndarray | None = None
+
+    def verify_integrity(self, ctx: VerifierContext):
+        # zkp::verify over the rv32im circuit + control-ID check; requires the
+        # circuit verifier (round 2).  Claims are still chained by the caller.
+        raise VerificationError("rv32im segment verification not yet wired")
+
+
+@dataclass
+class CompositeReceipt:
+    """Chain of segment receipts + assumption receipts
+    (reference receipt/composite.rs)."""
+
+    segments: list
+    assumption_receipts: list = field(default_factory=list)
+
+    def claim(self) -> ReceiptClaim:
+        first = self.segments[0].claim
+        last = self.segments[-1].claim
+        return ReceiptClaim(
+            pre=first.pre, post=last.post, exit_code=last.exit_code,
+            input=first.input, output=last.output)
+
+    def verify_integrity(self, ctx: VerifierContext):
+        # claim chaining: each segment's post state must equal the next pre
+        for a, b in zip(self.segments, self.segments[1:]):
+            if not np.array_equal(a.claim.post.digest(), b.claim.pre.digest()):
+                raise VerificationError("segment claims do not chain")
+            if a.claim.exit_code.kind != "SystemSplit":
+                raise VerificationError("non-final segment must SystemSplit")
+        for seg in self.segments:
+            seg.verify_integrity(ctx)
+        for ar in self.assumption_receipts:
+            ar.verify_integrity(ctx)
+
+
+@dataclass
+class SuccinctReceipt:
+    """Recursion-compressed receipt (reference receipt/succinct.rs)."""
+
+    seal: np.ndarray
+    control_id: np.ndarray
+    claim: ReceiptClaim
+    hashfn: str = "poseidon2"
+
+    def verify_integrity(self, ctx: VerifierContext):
+        raise VerificationError("recursion circuit verification not yet wired")
+
+
+@dataclass
+class InnerReceipt:
+    kind: str  # composite | succinct | groth16 | fake
+    value: object
+
+    def claim(self) -> ReceiptClaim:
+        if self.kind == "composite":
+            return self.value.claim()
+        return self.value.claim
+
+    def verify_integrity(self, ctx: VerifierContext):
+        self.value.verify_integrity(ctx)
+
+
+@dataclass
+class Receipt:
+    """Top-level receipt = inner proof + journal
+    (reference receipt.rs:114-330)."""
+
+    inner: InnerReceipt
+    journal: bytes
+
+    def claim(self) -> ReceiptClaim:
+        return self.inner.claim()
+
+    def verify(self, image_id, ctx: VerifierContext | None = None):
+        """reference receipt.rs:152-207"""
+        ctx = ctx or VerifierContext()
+        self.inner.verify_integrity(ctx)
+        claim = self.claim()
+        # check image id
+        from .claims import SystemState
+
+        expected_pre = np.asarray(image_id, np.uint32)
+        got_pre = claim.pre.digest()
+        # pre may be SystemState-wrapped or a raw image digest
+        if not (np.array_equal(got_pre, expected_pre) or np.array_equal(
+                got_pre, SystemState(0, expected_pre).digest())):
+            raise VerificationError("image id mismatch")
+        if claim.exit_code.kind != "Halted":
+            raise VerificationError(
+                f"unexpected exit code: {claim.exit_code.kind}")
+        # journal must match the claimed output
+        expected_output = Output.of(self.journal).digest() if claim.output \
+            else None
+        if claim.output is None:
+            if self.journal:
+                raise VerificationError("journal present but no output claimed")
+        else:
+            claimed = claim.output.digest() if isinstance(
+                claim.output, MaybePruned) else claim.output.digest()
+            if not np.array_equal(claimed, expected_output):
+                raise VerificationError("journal digest mismatch")
+
+    def verify_integrity(self, ctx: VerifierContext | None = None):
+        self.inner.verify_integrity(ctx or VerifierContext())
+
+
+def session_claim(session) -> ReceiptClaim:
+    """Build the ReceiptClaim for an executed Session
+    (reference host/server/session.rs:199-237 + exec/executor.rs:295-302)."""
+    from .claims import SystemState
+
+    kind, *rest = session.exit_code
+    exit_code = ExitCode(kind, rest[0] if rest else 0)
+    output = None
+    if exit_code.is_term:
+        output = MaybePruned.of(Output.of(session.journal))
+    return ReceiptClaim(
+        pre=MaybePruned.of(SystemState(0, session.pre_state)),
+        post=MaybePruned.of(SystemState(0, session.post_state)),
+        exit_code=exit_code,
+        input=MaybePruned.from_digest(session.input_digest),
+        output=output,
+    )
+
+
+def segment_claim(seg, final: bool, session_exit: ExitCode,
+                  output: MaybePruned | None) -> ReceiptClaim:
+    """ReceiptClaim for one segment of a session."""
+    from .claims import SystemState
+
+    exit_code = session_exit if final else ExitCode("SystemSplit")
+    return ReceiptClaim(
+        pre=MaybePruned.of(SystemState(0, seg.pre_digest)),
+        post=MaybePruned.of(SystemState(0, seg.post_digest)),
+        exit_code=exit_code,
+        input=MaybePruned.from_digest(seg.input_digest),
+        output=output if final else None,
+    )

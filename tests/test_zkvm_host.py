@@ -1,0 +1,83 @@
+"""zkVM host-layer tests: claims, receipts, dev-mode prover.
+
+Mirrors reference test shapes (prove_nothing per receipt kind, tagged-struct
+golden vector from binfmt/src/hash.rs tests).
+"""
+
+import numpy as np
+import pytest
+
+from risc0_tpu.zkvm import claims
+from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
+from risc0_tpu.zkvm.prover import DevModeDelay, DevModeProver
+from risc0_tpu.zkvm.receipt import (Receipt, VerificationError,
+                                    VerifierContext, session_claim)
+
+LOOP = "/root/reference/risc0/zkvm/examples/loop.bin"
+
+
+def test_tagged_struct_golden():
+    # reference binfmt/src/hash.rs test_tagged_struct golden vector
+    d1 = claims.tagged_struct("foo", [], [1, 2013265920, 3])
+    d2 = claims.tagged_struct("bar", [d1, d1], [2013265920, 5])
+    d3 = claims.tagged_struct("baz", [d1, d2, d1], [6, 7, 2013265920, 9, 10])
+    assert claims.digest_bytes(d3).hex() == (
+        "9ff20cc6d365efa2af09181772f49013d05cdee6da896851614cae23aa5dd442")
+
+
+def test_exit_code_pairs():
+    for code in [claims.ExitCode("Halted", 0), claims.ExitCode("Paused", 3),
+                 claims.ExitCode("SystemSplit"), claims.ExitCode("SessionLimit")]:
+        pair = code.into_pair()
+        assert claims.ExitCode.from_pair(*pair) == code
+
+
+def test_dev_mode_prove_and_verify():
+    elf = open(LOOP, "rb").read()
+    env = ExecutorEnv(segment_po2=16).write_slice((50).to_bytes(4, "little"))
+    prover = DevModeProver()
+    info = prover.prove(env, elf)
+    image_id = ExecutorImpl(env, elf).compute_image_id()
+    ctx = VerifierContext(dev_mode=True)
+    info.receipt.verify(image_id, ctx)
+
+
+def test_fake_receipt_rejected_without_dev_mode():
+    elf = open(LOOP, "rb").read()
+    env = ExecutorEnv(segment_po2=16).write_slice((1).to_bytes(4, "little"))
+    info = DevModeProver().prove(env, elf)
+    image_id = ExecutorImpl(env, elf).compute_image_id()
+    with pytest.raises(VerificationError, match="dev mode"):
+        info.receipt.verify(image_id, VerifierContext(dev_mode=False))
+
+
+def test_wrong_image_id_rejected():
+    elf = open(LOOP, "rb").read()
+    env = ExecutorEnv(segment_po2=16).write_slice((1).to_bytes(4, "little"))
+    info = DevModeProver().prove(env, elf)
+    bad = np.arange(8, dtype=np.uint32)
+    with pytest.raises(VerificationError, match="image id"):
+        info.receipt.verify(bad, VerifierContext(dev_mode=True))
+
+
+def test_segment_claims_chain():
+    elf = open(LOOP, "rb").read()
+    count = 1024 * 494 + 818
+    env = ExecutorEnv(segment_po2=16).write_slice(count.to_bytes(4, "little"))
+    session = ExecutorImpl(env, elf).run()
+    assert len(session.segments) > 2
+    info = DevModeProver().prove_session(session)
+    claim = session_claim(session)
+    assert np.array_equal(info.receipt.claim().digest(), claim.digest())
+
+
+def test_dev_mode_delay():
+    import time
+
+    elf = open(LOOP, "rb").read()
+    env = ExecutorEnv(segment_po2=16).write_slice((1).to_bytes(4, "little"))
+    session = ExecutorImpl(env, elf).run()
+    prover = DevModeProver(DevModeDelay(prove_segment_core=0.05))
+    t = time.time()
+    prover.prove_session(session)
+    assert time.time() - t >= 0.05 * len(session.segments)
