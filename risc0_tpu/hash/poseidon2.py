@@ -193,18 +193,48 @@ def _hash_rows_impl(matrix):
     return state[:, :CELLS_OUT]
 
 
+def _use_pallas() -> bool:
+    import os
+
+    flag = os.environ.get("RISC0_TPU_PALLAS", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
 def hash_rows(matrix):
     """Hash each column-tuple of `matrix` ((cols, rows) uint32 Montgomery).
 
     Equivalent to reference CpuHal::hash_rows (hal/cpu.rs:555-567): output[r] =
     unpadded_hash(matrix[:, r]).  Returns (rows, 8) digest words.
+
+    On TPU this routes to the VMEM-resident Pallas kernel
+    (hal/pallas/poseidon2.py); the jnp path is the reference/CPU fallback.
     """
+    rows = matrix.shape[1]
+    if _use_pallas() and rows >= 512 and rows % 512 == 0:
+        from ..hal.pallas import poseidon2 as pk
+
+        return pk.hash_rows(matrix)
     return _hash_rows_impl(matrix)
 
 
-@jax.jit
 def hash_pairs(left, right):
     """Batched hash_pair: (n, 8), (n, 8) -> (n, 8)."""
+    if _use_pallas() and left.shape[0] >= 512:
+        from ..hal.pallas import poseidon2 as pk
+
+        return pk.hash_pairs(left, right)
+    return _hash_pairs_impl(left, right)
+
+
+@jax.jit
+def _hash_pairs_impl(left, right):
     state = jnp.zeros((left.shape[0], CELLS), jnp.uint32)
     state = state.at[:, :CELLS_OUT].set(left)
     state = state.at[:, CELLS_OUT : 2 * CELLS_OUT].set(right)

@@ -178,7 +178,8 @@ class Verifier:
         # Val::new_raw(po2); verify/mod.rs reads to_u32_words() undecoded)
         out, po2_elem = slice_[:size], slice_[size]
         po2 = int(po2_elem)
-        assert po2 <= MAX_CYCLES_PO2
+        if po2 > MAX_CYCLES_PO2:
+            raise VerificationError(f"po2 {po2} out of range")
         self.po2 = po2
         self.tot_cycles = 1 << po2
         return out, po2
