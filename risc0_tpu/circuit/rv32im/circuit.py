@@ -168,6 +168,243 @@ class Rv32imCircuit:
         return eregs[int(reg)]
 
 
+    # -- prover-side batch evaluation over the 4x domain (numpy oracle) ------
+    def eval_check_np(self, groups, globals_list, poly_mix, po2):
+        """Host batch eval_check: same semantics as eval_check, vectorized
+        with numpy over the domain.  Conformance oracle + small-domain use."""
+        mix_g, out_g = globals_list
+        accum, code, data = (np.asarray(g, np.uint32) for g in groups)
+        cycles = 1 << po2
+        domain = cycles * 4
+
+        pm = np.asarray(poly_mix, np.uint32)
+        ks = self.operands[self.opcode == EMADD][:, 2]
+        pm_pows = np.zeros((int(ks.max()) + 1, 4), np.uint32)
+        cur = np.zeros(4, np.uint32)
+        cur[0] = F.R % F.P
+        for k in range(pm_pows.shape[0]):
+            pm_pows[k] = cur
+            cur = F.ext_mul_np(cur, pm)
+
+        w = F.s_encode(F.ROU_FWD[po2 + 2])
+        kpow = F.s_pow(F.s_encode(3), cycles)
+        wq = F.s_pow(w, cycles)
+        ys, cw = [], F.R % F.P
+        for _ in range(4):
+            ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
+            cw = F.s_mul(cw, wq)
+        inv_zeros = np.tile(np.array(ys, np.uint32), domain // 4)
+
+        bufs = {BUF_ACCUM: accum, BUF_DATA: data}
+        fregs = np.zeros((self.n_f, domain), np.uint32)
+        eregs = np.zeros((self.n_e, domain, 4), np.uint32)
+        fscr = np.zeros((self.fscr_size, domain), np.uint32)
+        escr = np.zeros((self.escr_size, domain, 4), np.uint32)
+
+        em, ea, es, fm = F.ext_mul_np, F.add_np, F.sub_np, F.mul_np
+        for op, row in zip(self.opcode, self.operands):
+            a, b, c, d, e, f_ = (int(x) for x in row)
+            if op == FCONST:
+                fregs[a] = F.s_encode(b)
+            elif op == FTAP:
+                fregs[a] = np.roll(bufs[b][c], 4 * d)
+            elif op == FGLOBAL:
+                src = out_g if b == BUF_GLOBAL else mix_g
+                fregs[a] = int(src[c])
+            elif op == FSCR_RD:
+                fregs[a] = fscr[b]
+            elif op == FADD:
+                fregs[a] = ea(fregs[b], fregs[c])
+            elif op == FSUB:
+                fregs[a] = es(fregs[b], fregs[c])
+            elif op == FMUL:
+                fregs[a] = fm(fregs[b], fregs[c])
+            elif op == ECONST:
+                eregs[a] = F.encode_np(np.array([b, c, d, e], np.uint32))
+            elif op == EMADD:
+                term = np.broadcast_to(pm_pows[c], (domain, 4))
+                if d >= 0:
+                    term = fm(term, fregs[d][:, None])
+                if e >= 0:
+                    term = fm(term, fregs[e][:, None])
+                if f_ >= 0:
+                    term = em(term, eregs[f_])
+                eregs[a] = ea(eregs[b], term)
+            elif op == FSCR_WR:
+                fscr[a] = fregs[b]
+            elif op == ESCR_WR:
+                escr[a] = eregs[b]
+            elif op == ESCR_RD:
+                eregs[a] = escr[b]
+            elif op == EADD:
+                eregs[a] = ea(eregs[b], eregs[c])
+            elif op == ESUB:
+                eregs[a] = es(eregs[b], eregs[c])
+            elif op == EMUL:
+                eregs[a] = em(eregs[b], eregs[c])
+            elif op == ESCALE:
+                eregs[a] = fm(eregs[b], fregs[c][:, None])
+            elif op == EADDF:
+                t = eregs[b].copy()
+                t[:, 0] = ea(t[:, 0], fregs[c])
+                eregs[a] = t
+            elif op == FSUBE:
+                fe = np.zeros((domain, 4), np.uint32)
+                fe[:, 0] = fregs[b]
+                eregs[a] = es(fe, eregs[c])
+            elif op == ESUBF:
+                fe = np.zeros((domain, 4), np.uint32)
+                fe[:, 0] = fregs[c]
+                eregs[a] = es(eregs[b], fe)
+            else:
+                raise ValueError(f"bad opcode {op}")
+        tot = eregs[self.ret[1]]
+        return fm(tot, inv_zeros[:, None]).T  # (4, domain)
+
+    # -- prover-side vectorized evaluation over the 4x domain ----------------
+    def eval_check(self, groups, globals_list, poly_mix, po2):
+        """Device eval_check (reference rv32im prove/hal/cpu.rs:144-207).
+
+        EXPERIMENTAL: tracing the 26k-op IR into one XLA graph compiles too
+        slowly for production; the round-2 plan is a level-scheduled
+        register-allocated interpreter (see PROGRESS notes).
+
+        groups: [accum (103, domain), code (1, domain), data (211, domain)]
+        natural-order evaluations; globals_list: [mix (36,), out (90,)] host
+        Montgomery words.  Returns the (4, domain) planar check polynomial.
+        """
+        import jax.numpy as jnp
+
+        mix_g, out_g = globals_list
+        accum, _code, data = groups
+        cycles = 1 << po2
+        domain = cycles * 4
+
+        pm = np.asarray(poly_mix, np.uint32)
+        ks = self.operands[self.opcode == EMADD][:, 2]
+        pm_pows = np.zeros((int(ks.max()) + 1, 4), np.uint32)
+        cur = np.zeros(4, np.uint32)
+        cur[0] = F.R % F.P
+        for k in range(pm_pows.shape[0]):
+            pm_pows[k] = cur
+            cur = F.ext_mul_np(cur, pm)
+
+        # zeros polynomial (3x)^cycles - 1, period 4 over the domain
+        w = F.s_encode(F.ROU_FWD[po2 + 2])
+        kpow = F.s_pow(F.s_encode(3), cycles)
+        wq = F.s_pow(w, cycles)
+        ys, cw = [], F.R % F.P
+        for _ in range(4):
+            ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
+            cw = F.s_mul(cw, wq)
+        inv_zeros = np.tile(np.array(ys, np.uint32), domain // 4)
+
+        return _eval_check_traced(
+            self, accum, data, jnp.asarray(pm_pows),
+            jnp.asarray(np.asarray(out_g, np.uint32)),
+            jnp.asarray(np.asarray(mix_g, np.uint32)),
+            jnp.asarray(inv_zeros))
+
+
+def _eval_check_traced(c: "Rv32imCircuit", accum, data, pm_pows, out_g, mix_g,
+                       inv_zeros):
+    """Trace the 26k-op IR into one XLA computation (jit-cached per shape)."""
+    import jax
+
+    return _eval_check_impl(c, accum, data, pm_pows, out_g, mix_g, inv_zeros)
+
+
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("c",))
+def _eval_check_impl(c, accum, data, pm_pows, out_g, mix_g, inv_zeros):
+    import jax.numpy as jnp
+
+    domain = accum.shape[1]
+    bufs = {BUF_ACCUM: accum, BUF_DATA: data}
+    tap_cache = {}
+
+    def tap(buf, col, back):
+        key = (buf, col, back)
+        if key not in tap_cache:
+            v = bufs[buf][col]
+            tap_cache[key] = jnp.roll(v, 4 * back) if back else v
+        return tap_cache[key]
+
+    fregs = [None] * c.n_f
+    eregs = [None] * c.n_e
+    fscr = [None] * c.fscr_size
+    escr = [None] * c.escr_size
+    mont_consts = {}
+
+    def fconst(v):
+        if v not in mont_consts:
+            mont_consts[v] = jnp.full((domain,), F.s_encode(int(v)), jnp.uint32)
+        return mont_consts[v]
+
+    for op, row in zip(c.opcode, c.operands):
+        a, b, cc, d, e, f_ = (int(x) for x in row)
+        if op == FCONST:
+            fregs[a] = fconst(b)
+        elif op == FTAP:
+            fregs[a] = tap(b, cc, d)
+        elif op == FGLOBAL:
+            src = out_g if b == BUF_GLOBAL else mix_g
+            fregs[a] = jnp.full((domain,), src[cc], jnp.uint32)
+        elif op == FSCR_RD:
+            fregs[a] = fscr[b]
+        elif op == FADD:
+            fregs[a] = F.add(fregs[b], fregs[cc])
+        elif op == FSUB:
+            fregs[a] = F.sub(fregs[b], fregs[cc])
+        elif op == FMUL:
+            fregs[a] = F.mul(fregs[b], fregs[cc])
+        elif op == ECONST:
+            vals = F.encode_np(np.array([b, cc, d, e], np.uint32))
+            eregs[a] = jnp.broadcast_to(jnp.asarray(vals), (domain, 4))
+        elif op == EMADD:
+            term = jnp.broadcast_to(pm_pows[cc], (domain, 4))
+            if d >= 0:
+                term = F.mul(term, fregs[d][:, None])
+            if e >= 0:
+                term = F.mul(term, fregs[e][:, None])
+            if f_ >= 0:
+                term = F.ext_mul(term, eregs[f_])
+            eregs[a] = F.add(eregs[b], term)
+        elif op == FSCR_WR:
+            fscr[a] = fregs[b]
+        elif op == ESCR_WR:
+            escr[a] = eregs[b]
+        elif op == ESCR_RD:
+            eregs[a] = escr[b]
+        elif op == EADD:
+            eregs[a] = F.add(eregs[b], eregs[cc])
+        elif op == ESUB:
+            eregs[a] = F.sub(eregs[b], eregs[cc])
+        elif op == EMUL:
+            eregs[a] = F.ext_mul(eregs[b], eregs[cc])
+        elif op == ESCALE:
+            eregs[a] = F.mul(eregs[b], fregs[cc][:, None])
+        elif op == EADDF:
+            eregs[a] = F.add(eregs[b], jnp.stack(
+                [fregs[cc]] + [jnp.zeros((domain,), jnp.uint32)] * 3, axis=-1))
+        elif op == FSUBE:
+            fe = jnp.zeros((domain, 4), jnp.uint32).at[:, 0].set(fregs[b])
+            eregs[a] = F.sub(fe, eregs[cc])
+        elif op == ESUBF:
+            fe = jnp.zeros((domain, 4), jnp.uint32).at[:, 0].set(fregs[cc])
+            eregs[a] = F.sub(eregs[b], fe)
+        else:
+            raise ValueError(f"bad opcode {op}")
+
+    tot = eregs[c.ret[1]]  # (domain, 4)
+    ret = F.mul(tot, inv_zeros[:, None])
+    return ret.T  # (4, domain)
+
+
 @lru_cache(maxsize=1)
 def load_circuit() -> Rv32imCircuit:
     tz = np.load(os.path.join(_DATA, "taps.npz"))

@@ -45,3 +45,31 @@ def test_garbage_seal_rejected():
     bad[0] = 2  # correct version word
     with pytest.raises(VerificationError):
         verify_rv32im_seal(bad)
+
+
+def test_eval_check_matches_poly_ext():
+    """The vectorized domain evaluator and the scalar DEEP-point evaluator
+    run the same IR through different code paths; their values must agree
+    at every domain row (conformance oracle for the prover-side path)."""
+    c = load_circuit()
+    rng = np.random.default_rng(7)
+    po2 = 4
+    cycles = 1 << po2
+    domain = cycles * 4
+    accum = F.encode_np(rng.integers(0, F.P, (103, domain), dtype=np.uint32))
+    code = F.encode_np(rng.integers(0, F.P, (1, domain), dtype=np.uint32))
+    data = F.encode_np(rng.integers(0, F.P, (211, domain), dtype=np.uint32))
+    out = F.encode_np(rng.integers(0, F.P, 90, dtype=np.uint32))
+    mix = F.encode_np(rng.integers(0, F.P, 36, dtype=np.uint32))
+    pm = F.encode_np(rng.integers(0, F.P, 4, dtype=np.uint32))
+    check = c.eval_check_np([accum, code, data], [mix, out], pm, po2)
+    w = F.s_encode(F.ROU_FWD[po2 + 2])
+    for i in (0, 17, 63):
+        eval_u = np.zeros((c.taps.tap_size, 4), np.uint32)
+        for (g, col, back), ti in c._tap_index.items():
+            buf = {0: accum, 1: code, 2: data}[g]
+            eval_u[ti, 0] = buf[col][(i - 4 * back) % domain]
+        tot = c.poly_ext(pm, eval_u, out, mix)
+        y = F.s_pow(F.s_mul(F.s_encode(3), F.s_pow(w, i)), cycles)
+        invz = F.s_inv(F.s_sub(y, F.R % F.P))
+        assert np.array_equal(check[:, i], F.mul_np(tot, np.uint32(invz)))
