@@ -1,0 +1,104 @@
+"""r0vm-equivalent CLI (reference: risc0/r0vm/src/lib.rs:28-127).
+
+Usage:
+  python -m risc0_tpu.cli execute --elf guest.elf [--input-hex 64000000] [--po2 N]
+  python -m risc0_tpu.cli id --elf guest.elf
+  python -m risc0_tpu.cli prove --elf guest.elf [--input-hex ...]   (dev mode)
+  python -m risc0_tpu.cli verify --seal seal.bin                    (rv32im seal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _env(args):
+    from .zkvm.exec import ExecutorEnv
+
+    env = ExecutorEnv(segment_po2=args.po2)
+    if args.input_hex:
+        env.write_slice(bytes.fromhex(args.input_hex))
+    if args.input:
+        with open(args.input, "rb") as f:
+            env.write_slice(f.read())
+    return env
+
+
+def _elf(args) -> bytes:
+    with open(args.elf, "rb") as f:
+        data = f.read()
+    if data[:4] == b"R0BF":
+        return data  # ProgramBinary handled by caller
+    return data
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="risc0-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("execute", "id", "prove"):
+        p = sub.add_parser(name)
+        p.add_argument("--elf", required=True)
+        p.add_argument("--input-hex", default="")
+        p.add_argument("--input", default="")
+        p.add_argument("--po2", type=int, default=20)
+    p = sub.add_parser("verify")
+    p.add_argument("--seal", required=True)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "verify":
+        from .circuit.rv32im.verify import verify_rv32im_seal
+
+        seal = np.fromfile(args.seal, np.uint32)
+        out = verify_rv32im_seal(seal)
+        print(json.dumps({"ok": True, "globals": [int(x) for x in out[:8]]}))
+        return 0
+
+    from .zkvm.binfmt import ProgramBinary
+    from .zkvm.exec import ExecutorImpl
+
+    data = _elf(args)
+    env = _env(args)
+    if data[:4] == b"R0BF":
+        pb = ProgramBinary.decode(data)
+        ex = ExecutorImpl(env, pb.user_elf, pb.kernel_elf)
+    else:
+        ex = ExecutorImpl(env, data)
+
+    if args.cmd == "id":
+        image_id = ex.compute_image_id()
+        print(bytes(image_id.tobytes()).hex())
+        return 0
+
+    if args.cmd == "execute":
+        s = ex.run()
+        print(json.dumps({
+            "exit": s.exit_code, "segments": len(s.segments),
+            "user_cycles": s.user_cycles, "total_cycles": s.total_cycles,
+            "paging_cycles": s.paging_cycles,
+            "journal": s.journal.hex(),
+        }))
+        return 0
+
+    if args.cmd == "prove":
+        from .zkvm.prover import get_prover_server
+
+        prover = get_prover_server()
+        session = ex.run()
+        info = prover.prove_session(session)
+        claim = info.receipt.claim()
+        print(json.dumps({
+            "kind": info.receipt.inner.kind,
+            "claim_digest": claim.digest().tobytes().hex(),
+            "journal": info.receipt.journal.hex(),
+            "segments": len(session.segments),
+            "total_cycles": session.total_cycles,
+        }))
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -225,11 +225,12 @@ def hash_rows(matrix):
 
 
 def hash_pairs(left, right):
-    """Batched hash_pair: (n, 8), (n, 8) -> (n, 8)."""
-    if _use_pallas() and left.shape[0] >= 512:
-        from ..hal.pallas import poseidon2 as pk
+    """Batched hash_pair: (n, 8), (n, 8) -> (n, 8).
 
-        return pk.hash_pairs(left, right)
+    Stays on the XLA path: Merkle fold layers span many shapes and the
+    per-shape Pallas compile cost (~100s via remote compile) dwarfs the
+    ~20% runtime win; the leaf hash_rows is where Pallas pays off.
+    """
     return _hash_pairs_impl(left, right)
 
 

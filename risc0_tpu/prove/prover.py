@@ -195,6 +195,12 @@ class Prover:
             check_group.merkle.prove(iop_, idx)
 
         fri_prove(iop, final_coeffs, inner)
+
+        from . import soundness
+        self.soundness = {
+            "proven": soundness.proven(taps, self.cycles * EXT_SIZE),
+            "conjectured": soundness.toy_model_security(taps, self.cycles * EXT_SIZE),
+        }
         return iop.proof
 
 
