@@ -42,7 +42,7 @@ def extract_taps(path: str) -> dict:
     taps = np.array([[int(v) for v in t] for t in taps], np.int32)
 
     def grab_list(name):
-        m = re.search(name + r": &\[([0-9, ]*)\]", src)
+        m = re.search(name + r": &\[([0-9,\s]*)\]", src)
         return np.array([int(x) for x in m.group(1).split(",") if x.strip()],
                         np.int32)
 
