@@ -49,11 +49,22 @@ def fri_prove(iop, final_poly_coeffs, inner):
     final = np.asarray(ntt.bit_reverse(coeffs))
     iop.write_field_elems(final)
     iop.commit(iop.suite.hash_elem_slice(final.ravel()))
-    # queries
-    for _ in range(QUERIES):
-        pos = iop.random_bits(orig_domain.bit_length() - 1)
-        inner(iop, pos)
-        for rnd in rounds:
-            group = pos % (rnd.domain // FRI_FOLD)
-            rnd.merkle.prove(iop, group)
-            pos = group
+
+    # Queries: the RNG advances only on draws (writes never mix), so drawing
+    # all positions up front matches the reference's interleaved schedule and
+    # lets every Merkle opening prefetch in one batched gather.
+    positions = [iop.random_bits(orig_domain.bit_length() - 1)
+                 for _ in range(QUERIES)]
+    round_positions = []
+    cur = positions
+    for rnd in rounds:
+        cur = [p % (rnd.domain // FRI_FOLD) for p in cur]
+        round_positions.append(cur)
+    prefetched = [rnd.merkle.prefetch(ps)
+                  for rnd, ps in zip(rounds, round_positions)]
+
+    inner_prefetched = inner(positions)
+    for qi in range(QUERIES):
+        inner_prefetched(iop, qi)
+        for pf in prefetched:
+            pf.write(iop, qi)

@@ -54,3 +54,35 @@ class MerkleTreeProver:
             v //= 2
             level += 1
         return col
+
+    def prefetch(self, positions) -> "_PrefetchedProofs":
+        """Gather all query openings in a handful of device ops.
+
+        Fiat-Shamir only advances on commits, so all 50 query positions are
+        drawn before any opening is written — letting the per-query gathers
+        batch into one device op per tree/level instead of one per query.
+        """
+        import jax.numpy as jnp
+
+        pos = np.asarray(positions, np.int64)
+        cols = np.asarray(self.matrix[:, jnp.asarray(pos)])  # (cols, Q)
+        uncles = []  # per level: (Q, 8)
+        v = pos + self.rows
+        level = 0
+        while (v >= 2 * self.top_size).any():
+            idxs = (v ^ 1) - (self.rows >> level)
+            uncles.append(np.asarray(self.layers[level])[idxs])
+            v //= 2
+            level += 1
+        return _PrefetchedProofs(cols, uncles)
+
+
+class _PrefetchedProofs:
+    def __init__(self, cols, uncles):
+        self.cols = cols
+        self.uncles = uncles
+
+    def write(self, iop, qi: int):
+        iop.write_field_elems(self.cols[:, qi])
+        for level in self.uncles:
+            iop.write_digests(level[qi])

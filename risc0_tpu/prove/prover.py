@@ -189,10 +189,15 @@ class Prover:
         final_coeffs = hal.eltwise_sum_extelem(combos)  # (4, cycles)
         final_coeffs = ntt.bit_reverse(final_coeffs)
 
-        def inner(iop_, idx):
-            for pg in self.groups:
-                pg.merkle.prove(iop_, idx)
-            check_group.merkle.prove(iop_, idx)
+        def inner(positions):
+            prefetched = [pg.merkle.prefetch(positions) for pg in self.groups]
+            prefetched.append(check_group.merkle.prefetch(positions))
+
+            def write(iop_, qi):
+                for pf in prefetched:
+                    pf.write(iop_, qi)
+
+            return write
 
         fri_prove(iop, final_coeffs, inner)
 

@@ -81,3 +81,16 @@ def test_dev_mode_delay():
     t = time.time()
     prover.prove_session(session)
     assert time.time() - t >= 0.05 * len(session.segments)
+
+
+def test_serde_roundtrip():
+    from risc0_tpu.zkvm import serde
+
+    assert serde.to_vec(7) == [7]
+    assert serde.to_vec(True) == [1]
+    assert serde.to_vec("abc") == [3, int.from_bytes(b"abc\0", "little")]
+    words = serde.to_vec(["hi", "there"])
+    assert serde.from_slice(words, [str]) == ["hi", "there"]
+    words = serde.to_vec((1, "x", b"\x01\x02"))
+    assert serde.from_slice(words, (int, str, bytes)) == (1, "x", b"\x01\x02")
+    assert serde.from_slice(serde.to_vec(1 << 40), "u64") == 1 << 40
