@@ -73,3 +73,46 @@ def test_eval_check_matches_poly_ext():
         y = F.s_pow(F.s_mul(F.s_encode(3), F.s_pow(w, i)), cycles)
         invz = F.s_inv(F.s_sub(y, F.R % F.P))
         assert np.array_equal(check[:, i], F.mul_np(tot, np.uint32(invz)))
+
+
+def test_ir_plan_matches_reference_evaluator():
+    """The level-scheduled register-allocated plan must agree with the
+    straight-line numpy evaluator (and transitively with poly_ext)."""
+    from risc0_tpu.circuit import ir_exec
+
+    c = load_circuit()
+    plan = ir_exec.build_plan(c)
+    assert len(plan.levels) < 1000
+    rng = np.random.default_rng(11)
+    po2 = 4
+    domain = (1 << po2) * 4
+    accum = F.encode_np(rng.integers(0, F.P, (103, domain), dtype=np.uint32))
+    code = F.encode_np(rng.integers(0, F.P, (1, domain), dtype=np.uint32))
+    data = F.encode_np(rng.integers(0, F.P, (211, domain), dtype=np.uint32))
+    out = F.encode_np(rng.integers(0, F.P, 90, dtype=np.uint32))
+    mix = F.encode_np(rng.integers(0, F.P, 36, dtype=np.uint32))
+    pm = F.encode_np(rng.integers(0, F.P, 4, dtype=np.uint32))
+    ref = c.eval_check_np([accum, code, data], [mix, out], pm, po2)
+
+    ks = c.operands[c.opcode == 8][:, 2]
+    pm_pows = np.zeros((int(ks.max()) + 1, 4), np.uint32)
+    cur = np.zeros(4, np.uint32)
+    cur[0] = F.R % F.P
+    for k in range(pm_pows.shape[0]):
+        pm_pows[k] = cur
+        cur = F.ext_mul_np(cur, pm)
+    gvals = np.array([(out if b == 2 else mix)[i]
+                      for b, i in plan.global_specs], np.uint32)
+    tapm = ir_exec.build_tap_matrix_np(plan, {0: accum, 1: data}, 0, domain,
+                                       domain)
+    tot = ir_exec.execute_plan_np(plan, tapm, gvals, pm_pows)
+    w = F.s_encode(F.ROU_FWD[po2 + 2])
+    kpow = F.s_pow(F.s_encode(3), 1 << po2)
+    wq = F.s_pow(w, 1 << po2)
+    ys, cw = [], F.R % F.P
+    for _ in range(4):
+        ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
+        cw = F.s_mul(cw, wq)
+    invz = np.tile(np.array(ys, np.uint32), domain // 4)
+    got = F.mul_np(tot, invz[:, None]).T
+    assert np.array_equal(got, ref)
