@@ -372,3 +372,59 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# layout.rs.inc: resolve LAYOUT_GLOBAL into a JSON tree of register offsets
+# ---------------------------------------------------------------------------
+
+def extract_global_layout(path: str) -> dict:
+    src = open(path).read()
+    # parse every `pub const NAME: ... = <expr>;` where expr is a nested
+    # struct/array literal with `Reg { offset: N }` leaves
+    defs = {}
+    for m in re.finditer(r"pub const (\w+): [^=]+= (.*?);\n(?=pub const|\Z)",
+                         src, re.S):
+        defs[m.group(1)] = m.group(2)
+
+    def parse(expr: str):
+        expr = expr.strip().lstrip("&").strip()
+        m = re.fullmatch(r"Reg \{ offset: (\d+),? \}", expr, re.S)
+        if m:
+            return int(m.group(1))
+        if expr.startswith("["):
+            return [parse(e) for e in _split_top(expr[1:-1])]
+        m = re.match(r"\w+ \{(.*)\}$", expr, re.S)
+        if m:
+            out = {}
+            for fld in _split_top(m.group(1)):
+                if not fld.strip():
+                    continue
+                k, v = fld.split(":", 1)
+                v = v.strip()
+                if re.fullmatch(r"LAYOUT__\d+", v):
+                    out[k.strip()] = parse(defs[v])
+                else:
+                    out[k.strip()] = parse(v)
+            return out
+        if re.fullmatch(r"LAYOUT__\d+", expr):
+            return parse(defs[expr])
+        raise ValueError(f"cannot parse layout expr: {expr[:80]}")
+
+    def _split_top(s: str):
+        parts, depth, cur = [], 0, []
+        for ch in s:
+            if ch in "{[":
+                depth += 1
+            elif ch in "}]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            parts.append("".join(cur))
+        return parts
+
+    return parse(defs["LAYOUT_GLOBAL"])

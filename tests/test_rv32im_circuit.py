@@ -116,3 +116,38 @@ def test_ir_plan_matches_reference_evaluator():
     invz = np.tile(np.array(ys, np.uint32), domain // 4)
     got = F.mul_np(tot, invz[:, None]).T
     assert np.array_equal(got, ref)
+
+
+def test_claim_decode_roundtrip():
+    from risc0_tpu.circuit.rv32im.claim import (OUTPUT_SIZE, _layout, _reg,
+                                                decode_claim)
+
+    rng = np.random.default_rng(5)
+    lay = _layout()
+    g = np.zeros(OUTPUT_SIZE, np.uint64)
+
+    def put_digest(node, words):
+        for pair, w in zip(node["values"], words):
+            g[_reg(pair["low"])] = int(w) & 0xFFFF
+            g[_reg(pair["high"])] = int(w) >> 16
+
+    pre = rng.integers(0, 2**32, 8, dtype=np.uint32)
+    post = rng.integers(0, 2**32, 8, dtype=np.uint32)
+    inp = rng.integers(0, 2**32, 8, dtype=np.uint32)
+    out = rng.integers(0, 2**32, 8, dtype=np.uint32)
+    put_digest(lay["state_in"], pre)
+    put_digest(lay["state_out"], post)
+    put_digest(lay["input"], inp)
+    put_digest(lay["output"], out)
+    g[_reg(lay["is_terminate"])] = 1
+    g[_reg(lay["term_a0high"])] = 3
+    g[_reg(lay["term_a0low"])] = 0
+    seal = np.concatenate([[2], F.encode_np(g.astype(np.uint32))]).astype(
+        np.uint32)
+    claim = decode_claim(seal)
+    assert claim.exit_code.kind == "Halted" and claim.exit_code.user_exit == 3
+    assert np.array_equal(claim.pre.value.merkle_root, pre)
+    # Halted -> post state pruned to zero (reference claim/receipt.rs:168-171)
+    assert np.array_equal(claim.post.value.merkle_root, np.zeros(8, np.uint32))
+    assert np.array_equal(claim.input.digest(), inp)
+    assert np.array_equal(claim.output.digest(), out)
