@@ -222,12 +222,12 @@ def prove(po2: int, f0: int = 1, f1: int = 1, suite=None, seed: int = 0):
     return prover.finalize([mix, out], FibCircuitHal())
 
 
-def code_root(po2: int) -> np.ndarray:
+def code_root(po2: int, suite_name: str = "poseidon2") -> np.ndarray:
     """Deterministic code-group Merkle root for check_code."""
     from ...prove.prover import PolyGroup
 
     code, _, _, _ = witgen(po2)
-    pg = PolyGroup(hal.make_coeffs(jnp.asarray(code)))
+    pg = PolyGroup(hal.make_coeffs(jnp.asarray(code)), suite_name=suite_name)
     return pg.merkle.root
 
 
@@ -239,7 +239,7 @@ def verify(seal: np.ndarray, suite=None):
     assert seal[0] == SEAL_VERSION, "bad seal version"
 
     def check_code(po2, root):
-        expected = code_root(po2)
+        expected = code_root(po2, suite.name)
         if not np.array_equal(np.asarray(root), expected):
             raise V.VerificationError("code root mismatch")
 

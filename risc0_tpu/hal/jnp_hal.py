@@ -233,16 +233,28 @@ def fri_fold(planar_coeffs, mix):
 # Merkle hashing
 # ---------------------------------------------------------------------------
 
-def merkle_layers(matrix):
+def merkle_layers(matrix, suite_name: str = "poseidon2"):
     """Build all Merkle layers for a (cols, rows) matrix.
 
     Returns list of digest arrays: layers[0] = leaf hashes (rows, 8),
-    layers[-1] = (1, 8) root.  Poseidon2 only (device path).
+    layers[-1] = (1, 8) root.  Poseidon2 runs on device; the sha-256 suite
+    uses the vectorized numpy path (device SHA kernels are a later round).
     """
-    leaves = p2.hash_rows(matrix)
+    if suite_name == "poseidon2":
+        leaves = p2.hash_rows(matrix)
+        layers = [leaves]
+        cur = leaves
+        while cur.shape[0] > 1:
+            cur = p2.hash_pairs(cur[0::2], cur[1::2])
+            layers.append(cur)
+        return layers
+    from ..hash import sha256 as sha
+
+    m = np.asarray(matrix)
+    leaves = sha.hash_rows_np(m)
     layers = [leaves]
     cur = leaves
     while cur.shape[0] > 1:
-        cur = p2.hash_pairs(cur[0::2], cur[1::2])
+        cur = sha.hash_pairs_np(cur[0::2], cur[1::2])
         layers.append(cur)
     return layers

@@ -101,3 +101,67 @@ def hash_raw_words(words) -> np.ndarray:
     if rem:
         state = compress(state, data[-rem:] + b"\x00" * (64 - rem))
     return _state_to_digest_words(state)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch compression (numpy) — drives sha-suite Merkle hashing
+# ---------------------------------------------------------------------------
+
+_KV = np.array(_K, np.uint32)
+
+
+def _rotr_v(x, n):
+    return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
+
+
+def compress_batch(states: np.ndarray, blocks: np.ndarray) -> np.ndarray:
+    """Batched compression: states (n, 8) big-endian words, blocks (n, 16)
+    big-endian words; returns new states (n, 8)."""
+    with np.errstate(over="ignore"):
+        w = [blocks[:, i].astype(np.uint32) for i in range(16)]
+        for i in range(16, 64):
+            s0 = _rotr_v(w[i - 15], 7) ^ _rotr_v(w[i - 15], 18) ^ (w[i - 15] >> np.uint32(3))
+            s1 = _rotr_v(w[i - 2], 17) ^ _rotr_v(w[i - 2], 19) ^ (w[i - 2] >> np.uint32(10))
+            w.append(w[i - 16] + s0 + w[i - 7] + s1)
+        a, b, c, d, e, f, g, h = (states[:, i].astype(np.uint32) for i in range(8))
+        for i in range(64):
+            s1 = _rotr_v(e, 6) ^ _rotr_v(e, 11) ^ _rotr_v(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + s1 + ch + _KV[i] + w[i]
+            s0 = _rotr_v(a, 2) ^ _rotr_v(a, 13) ^ _rotr_v(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            t2 = s0 + maj
+            h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+        new = np.stack([a, b, c, d, e, f, g, h], axis=1)
+        return (states.astype(np.uint32) + new).astype(np.uint32)
+
+
+def _bswap(x: np.ndarray) -> np.ndarray:
+    return x.byteswap() if x.dtype.byteorder in ("=", "<") else x
+
+
+def hash_rows_np(matrix: np.ndarray) -> np.ndarray:
+    """sha-suite hash_rows: (cols, rows) Montgomery words -> (rows, 8) digests.
+
+    Each column-tuple is compressed as its little-endian byte stream padded
+    with zeros to 64-byte blocks, no length trailer (reference cpu.rs:56-78);
+    digest words byteswapped per the Digest convention.
+    """
+    cols, rows = matrix.shape
+    nblocks = (cols + 15) // 16
+    padded = np.zeros((nblocks * 16, rows), np.uint32)
+    padded[:cols] = matrix
+    states = np.tile(np.array(SHA256_INIT, np.uint32), (rows, 1))
+    for blk in range(nblocks):
+        # native LE bytes interpreted as big-endian words for compression
+        block = _bswap(padded[blk * 16 : (blk + 1) * 16].T.copy())
+        states = compress_batch(states, block)
+    return _bswap(states)
+
+
+def hash_pairs_np(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """sha-suite batched hash_pair: (n, 8), (n, 8) -> (n, 8)."""
+    n = left.shape[0]
+    block = _bswap(np.concatenate([left, right], axis=1).astype(np.uint32))
+    states = np.tile(np.array(SHA256_INIT, np.uint32), (n, 1))
+    return _bswap(compress_batch(states, block))

@@ -26,7 +26,7 @@ class _ProveRound:
         self.domain = size * INV_RATE
         evaluated = hal.expand_evaluate(coeffs, 2)  # (4, domain)
         matrix = evaluated.reshape(FRI_FOLD * 4, self.domain // FRI_FOLD)
-        self.merkle = MerkleTreeProver(matrix, QUERIES)
+        self.merkle = MerkleTreeProver(matrix, QUERIES, iop.suite.name)
         self.merkle.commit(iop)
         fold_mix = jnp.asarray(iop.random_ext_elem())
         self.coeffs = hal.fri_fold(coeffs, fold_mix)  # (4, size/16)

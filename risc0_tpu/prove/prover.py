@@ -29,11 +29,12 @@ class PolyGroup:
     coeffs arrive bit-reversed; stored natural-order after LDE + merkle build.
     """
 
-    def __init__(self, coeffs_br, queries: int = QUERIES):
+    def __init__(self, coeffs_br, queries: int = QUERIES,
+                 suite_name: str = "poseidon2"):
         self.count, self.size = coeffs_br.shape
         self.evaluated = hal.expand_evaluate(coeffs_br, 2)  # (count, 4*size)
         self.coeffs = ntt.bit_reverse(coeffs_br)            # natural order
-        self.merkle = MerkleTreeProver(self.evaluated, queries)
+        self.merkle = MerkleTreeProver(self.evaluated, queries, suite_name)
 
 
 class Prover:
@@ -57,7 +58,7 @@ class Prover:
         assert count == self.taps.group_size(group_id)
         assert self.groups[group_id] is None
         coeffs = hal.make_coeffs(witness)
-        pg = PolyGroup(coeffs)
+        pg = PolyGroup(coeffs, suite_name=self.suite.name)
         self.groups[group_id] = pg
         pg.merkle.commit(self.iop)
         return pg
@@ -80,7 +81,8 @@ class Prover:
         # interpolate the 4 planar polys; bit-reversed coeffs reinterpret as
         # 16 polys of length cycles with no data movement (prover.rs:143-178)
         check_coeffs = ntt.interpolate_ntt(check_poly)
-        check_group = PolyGroup(check_coeffs.reshape(CHECK_SIZE, self.cycles))
+        check_group = PolyGroup(check_coeffs.reshape(CHECK_SIZE, self.cycles),
+                                suite_name=self.suite.name)
         check_group.merkle.commit(iop)
 
         # DEEP query point

@@ -340,9 +340,17 @@ class ExecutorImpl:
         if rc != 0:
             raise RuntimeError(lib.r0_last_error().decode())
 
-        # exit code from terminate a0 (v1 ABI: user exit code in upper bits)
-        exit_code = ("Halted", result.terminate_a0) \
-            if result.has_terminate else ("SessionLimit",)
+        # terminate a0 = (user_exit << 16) | halt_type
+        # (reference claim/receipt.rs:310-324: 0 -> Halted, 1 -> Paused)
+        if result.has_terminate:
+            user_exit = result.terminate_a0 >> 16
+            halt_type = result.terminate_a0 & 0xFFFF
+            kind = {0: "Halted", 1: "Paused"}.get(halt_type)
+            if kind is None:
+                raise RuntimeError(f"illegal halt type {halt_type}")
+            exit_code = (kind, user_exit)
+        else:
+            exit_code = ("SessionLimit",)
         return Session(
             segments=segments,
             journal=state.journal.getvalue(),

@@ -42,3 +42,16 @@ def test_different_seeds_same_output_different_seal():
     assert not np.array_equal(s1, s2)  # zk blinding must differ
     fib.verify(s1)
     fib.verify(s2)
+
+
+def test_sha256_suite_prove_verify():
+    """The sha-256 hash suite drives the full prove/verify path (Merkle
+    hashing + Fiat-Shamir via ShaRng), mirroring the reference's per-suite
+    receipt support."""
+    from risc0_tpu.hash.suite import SHA256
+
+    seal = fib.prove(po2=6, suite=SHA256)
+    fib.verify(seal, suite=SHA256)
+    # a poseidon2 verifier must reject a sha seal
+    with pytest.raises((VerificationError, AssertionError, Exception)):
+        fib.verify(seal)
