@@ -224,6 +224,63 @@ int r0_execute_elf(const uint8_t* user_elf, uint64_t user_len,
   }
 }
 
+struct R0ReplayResult {
+  uint32_t user_cycles;
+  uint32_t pager_cycles;
+  uint32_t has_terminate;
+  uint32_t terminate_a0, terminate_a1;
+  uint32_t pre_digest[8], post_digest[8];
+};
+
+// Standalone segment replay from partial pre-image + recorded IO.
+int r0_replay_segment(
+    uint64_t num_pages, const uint32_t* page_indexes, const uint8_t* page_data,
+    uint64_t num_digests, const uint32_t* digest_indexes,
+    const uint32_t* digest_words, uint32_t suspend_cycle, uint32_t po2,
+    const uint8_t* read_record, const uint64_t* read_lens, uint64_t num_reads,
+    const uint32_t* write_lens, uint64_t num_writes,
+    const uint32_t input_digest[8], R0ReplayResult* out) {
+  try {
+    Segment seg;
+    seg.po2 = po2;
+    seg.suspend_cycle = suspend_cycle;
+    for (uint64_t i = 0; i < num_pages; i++) {
+      auto page = std::make_shared<Page>();
+      std::memcpy(page->data.data(), page_data + i * PAGE_BYTES, PAGE_BYTES);
+      seg.pages[page_indexes[i]] = page;
+    }
+    for (uint64_t i = 0; i < num_digests; i++) {
+      Digest d;
+      std::memcpy(d.data(), digest_words + i * 8, 32);
+      seg.page_digests[digest_indexes[i]] = d;
+    }
+    uint64_t off = 0;
+    for (uint64_t i = 0; i < num_reads; i++) {
+      seg.read_record.emplace_back(read_record + off,
+                                   read_record + off + read_lens[i]);
+      off += read_lens[i];
+    }
+    seg.write_record.assign(write_lens, write_lens + num_writes);
+
+    Digest input{};
+    if (input_digest) std::memcpy(input.data(), input_digest, 32);
+    ReplayResult res = replay_segment(seg, input);
+    out->user_cycles = res.user_cycles;
+    out->pager_cycles = res.pager_cycles;
+    out->has_terminate = res.terminate_state.has_value();
+    if (res.terminate_state) {
+      out->terminate_a0 = res.terminate_state->a0;
+      out->terminate_a1 = res.terminate_state->a1;
+    }
+    std::memcpy(out->pre_digest, res.pre_digest.data(), 32);
+    std::memcpy(out->post_digest, res.post_digest.data(), 32);
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return 1;
+  }
+}
+
 // Poseidon2 page digest of 1KiB of data (for tests / Python-side image ops).
 int r0_page_digest(const uint8_t* data, uint32_t out_digest[8]) {
   Page page;

@@ -1112,6 +1112,91 @@ bool Machine::step() {
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// Segment replay (reference execute/segment.rs:69-84)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ReplayIO : HostIO {
+  const std::vector<std::vector<uint8_t>>* reads;
+  const std::vector<uint32_t>* writes;
+  size_t cur_read = 0;
+  size_t cur_write = 0;
+
+  uint32_t host_read(uint32_t fd, uint8_t* buf, uint32_t len) override {
+    if (cur_read >= reads->size())
+      throw std::runtime_error("replay: read record exhausted");
+    const auto& rec = (*reads)[cur_read++];
+    if (rec.size() > len) throw std::runtime_error("replay: read too long");
+    std::memcpy(buf, rec.data(), rec.size());
+    return (uint32_t)rec.size();
+  }
+
+  uint32_t host_write(uint32_t fd, const uint8_t* buf, uint32_t len) override {
+    if (cur_write >= writes->size())
+      throw std::runtime_error("replay: write record exhausted");
+    return (*writes)[cur_write++];
+  }
+};
+
+}  // namespace
+
+ReplayResult replay_segment(const Segment& seg, const Digest& input_digest) {
+  // reconstruct the partial pre-image: pages + uncle digests
+  MemoryImage image;
+  image.digests.clear();
+  for (auto& [idx, d] : seg.page_digests) image.digests[idx] = d;
+  for (auto& [page_idx, page] : seg.pages) {
+    uint32_t digest_idx = MEMORY_PAGES + page_idx;
+    if (!image.digests.count(digest_idx))
+      image.digests[digest_idx] = page->digest();
+    image.pages[page_idx] = page;
+  }
+
+  // Compute every interior node whose children are known, bottom-up; the
+  // partial image carries leaf digests + uncles, which determine the root.
+  auto recompute = [&image]() {
+    uint32_t max_idx = image.digests.rbegin()->first;
+    for (uint32_t idx = max_idx / 2; idx >= 1; idx--) {
+      auto l = image.digests.find(2 * idx);
+      auto r = image.digests.find(2 * idx + 1);
+      if (l != image.digests.end() && r != image.digests.end())
+        image.digests[idx] = digest_pair(l->second, r->second);
+      if (idx == 1) break;
+    }
+  };
+  recompute();
+
+  ReplayResult res;
+  res.pre_digest = image.image_id();
+
+  ReplayIO io;
+  io.reads = &seg.read_record;
+  io.writes = &seg.write_record;
+
+  Machine m(image);
+  m.io = &io;
+  io.machine_handle = &m;
+  m.input_digest = input_digest;
+  m.resume();
+
+  while (m.user_cycles < seg.suspend_cycle && !m.terminate_state.has_value()) {
+    if (!m.step()) break;
+  }
+  m.suspend();
+  auto partial = m.pager.commit();
+  for (auto& [idx, page] : partial)
+    image.digests[MEMORY_PAGES + idx] = (image.pages[idx] = page)->digest();
+  recompute();
+
+  res.user_cycles = m.user_cycles;
+  res.pager_cycles = m.pager.cycles;
+  res.terminate_state = m.terminate_state;
+  res.post_digest = image.image_id();
+  return res;
+}
+
 uint32_t machine_peek(void* machine, uint32_t waddr) {
   return static_cast<Machine*>(machine)->pager.peek(waddr);
 }

@@ -206,4 +206,16 @@ ExecResult execute(MemoryImage image, uint32_t segment_po2,
                    uint64_t max_cycles, const Digest& input_digest,
                    HostIO& io, void* seg_user, SegmentFn seg_fn);
 
+// Deterministically re-execute one segment from its partial pre-image and
+// recorded host IO (reference execute/segment.rs:69-84 Segment::execute and
+// the preflight body phase, prove/witgen/preflight.rs:155-170).
+struct ReplayResult {
+  uint32_t user_cycles = 0;
+  uint32_t pager_cycles = 0;
+  std::optional<TerminateState> terminate_state;
+  Digest pre_digest{}, post_digest{};
+};
+
+ReplayResult replay_segment(const Segment& seg, const Digest& input_digest);
+
 }  // namespace r0

@@ -236,6 +236,54 @@ def _digest_np(arr) -> np.ndarray:
     return np.array(list(arr), np.uint32)
 
 
+def replay_segment(seg: "SegmentInfo", input_digest=None) -> dict:
+    """Deterministically re-execute one segment standalone from its partial
+    pre-image + recorded IO (reference execute/segment.rs:69-84).
+
+    Returns {user_cycles, pager_cycles, terminate_state, pre_digest,
+    post_digest}; the digests must reproduce the claim exactly.
+    """
+    lib = native.lib()
+    page_indexes = np.array(sorted(seg.pages), np.uint32)
+    page_data = b"".join(seg.pages[i] for i in page_indexes)
+    digest_indexes = np.array(sorted(seg.page_digests), np.uint32)
+    digest_words = np.concatenate(
+        [seg.page_digests[i] for i in digest_indexes]).astype(np.uint32) \
+        if len(digest_indexes) else np.zeros(0, np.uint32)
+    reads = b"".join(seg.read_record)
+    read_lens = np.array([len(r) for r in seg.read_record], np.uint64)
+    write_lens = np.array(seg.write_record, np.uint32)
+    input_d = np.asarray(
+        input_digest if input_digest is not None else seg.input_digest,
+        np.uint32)
+
+    res = native.R0ReplayResult()
+    rc = lib.r0_replay_segment(
+        len(page_indexes),
+        page_indexes.ctypes.data_as(C.POINTER(C.c_uint32)),
+        C.cast(C.create_string_buffer(page_data, len(page_data)),
+               C.POINTER(C.c_uint8)),
+        len(digest_indexes),
+        digest_indexes.ctypes.data_as(C.POINTER(C.c_uint32)),
+        digest_words.ctypes.data_as(C.POINTER(C.c_uint32)),
+        seg.user_cycles, seg.po2,
+        C.cast(C.create_string_buffer(reads, max(len(reads), 1)),
+               C.POINTER(C.c_uint8)),
+        read_lens.ctypes.data_as(C.POINTER(C.c_uint64)), len(read_lens),
+        write_lens.ctypes.data_as(C.POINTER(C.c_uint32)), len(write_lens),
+        input_d.ctypes.data_as(C.POINTER(C.c_uint32)), C.byref(res))
+    if rc != 0:
+        raise RuntimeError(lib.r0_last_error().decode())
+    return {
+        "user_cycles": res.user_cycles,
+        "pager_cycles": res.pager_cycles,
+        "terminate_state": (res.terminate_a0, res.terminate_a1)
+        if res.has_terminate else None,
+        "pre_digest": _digest_np(res.pre_digest),
+        "post_digest": _digest_np(res.post_digest),
+    }
+
+
 class ExecutorImpl:
     """Execute a guest ELF (+kernel) into a Session of segments
     (reference host/server/exec/executor.rs:54-330)."""

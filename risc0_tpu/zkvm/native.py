@@ -75,6 +75,18 @@ class R0Segment(C.Structure):
 SEGMENT_FN = C.CFUNCTYPE(None, C.c_void_p, C.POINTER(R0Segment))
 
 
+class R0ReplayResult(C.Structure):
+    _fields_ = [
+        ("user_cycles", C.c_uint32),
+        ("pager_cycles", C.c_uint32),
+        ("has_terminate", C.c_uint32),
+        ("terminate_a0", C.c_uint32),
+        ("terminate_a1", C.c_uint32),
+        ("pre_digest", C.c_uint32 * 8),
+        ("post_digest", C.c_uint32 * 8),
+    ]
+
+
 class R0Result(C.Structure):
     _fields_ = [
         ("segments", C.c_uint64),
@@ -113,6 +125,14 @@ def _configure(l):
     l.r0_machine_peek_region.restype = None
     l.r0_machine_peek_region.argtypes = [
         C.c_void_p, C.c_uint32, C.c_uint32, C.POINTER(C.c_uint8)]
+    l.r0_replay_segment.restype = C.c_int
+    l.r0_replay_segment.argtypes = [
+        C.c_uint64, C.POINTER(C.c_uint32), C.POINTER(C.c_uint8),
+        C.c_uint64, C.POINTER(C.c_uint32), C.POINTER(C.c_uint32),
+        C.c_uint32, C.c_uint32,
+        C.POINTER(C.c_uint8), C.POINTER(C.c_uint64), C.c_uint64,
+        C.POINTER(C.c_uint32), C.c_uint64,
+        C.POINTER(C.c_uint32), C.POINTER(R0ReplayResult)]
     l.r0_page_digest.restype = C.c_int
     l.r0_page_digest.argtypes = [C.c_char_p, C.POINTER(C.c_uint32)]
     l.r0_digest_pair.restype = C.c_int

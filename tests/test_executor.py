@@ -91,3 +91,35 @@ def test_segments_contain_touched_pages(loop_elf):
     # read_record captured the stdin word
     total_read = b"".join(seg.read_record)
     assert (100).to_bytes(4, "little") in total_read
+
+
+def test_segment_standalone_replay(loop_elf):
+    """Segments re-execute deterministically from their partial pre-image +
+    recorded IO, reproducing claims exactly (reference execute/segment.rs:
+    69-84) — the basis of distributed preflight."""
+    from risc0_tpu.zkvm.exec import replay_segment
+
+    count = 1024 * 494 + 818
+    s = run_loop(loop_elf, count, po2=16)
+    assert len(s.segments) > 2
+    for seg in s.segments[:3] + [s.segments[-1]]:
+        r = replay_segment(seg)
+        assert np.array_equal(r["pre_digest"], seg.pre_digest)
+        assert np.array_equal(r["post_digest"], seg.post_digest)
+        assert r["user_cycles"] == seg.user_cycles
+        assert r["pager_cycles"] == seg.paging_cycles
+        assert r["terminate_state"] == seg.terminate_state
+
+
+def test_replay_rejects_corrupted_page(loop_elf):
+    from risc0_tpu.zkvm.exec import replay_segment
+
+    s = run_loop(loop_elf, 100)
+    seg = s.segments[0]
+    idx = sorted(seg.pages)[0]
+    page = bytearray(seg.pages[idx])
+    page[100] ^= 1
+    seg.pages[idx] = bytes(page)
+    r = replay_segment(seg)
+    # corrupted pre-image diverges from the claimed pre digest
+    assert not np.array_equal(r["pre_digest"], seg.pre_digest)
