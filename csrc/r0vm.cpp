@@ -1148,9 +1148,9 @@ ReplayResult replay_segment(const Segment& seg, const Digest& input_digest) {
   image.digests.clear();
   for (auto& [idx, d] : seg.page_digests) image.digests[idx] = d;
   for (auto& [page_idx, page] : seg.pages) {
-    uint32_t digest_idx = MEMORY_PAGES + page_idx;
-    if (!image.digests.count(digest_idx))
-      image.digests[digest_idx] = page->digest();
+    // leaf digests always recompute from the page data: the pre-image root
+    // must attest the actual bytes, not caller-claimed digests
+    image.digests[MEMORY_PAGES + page_idx] = page->digest();
     image.pages[page_idx] = page;
   }
 
