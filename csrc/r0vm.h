@@ -61,7 +61,21 @@ constexpr uint32_t HOST_ECALL_TERMINATE = 0, HOST_ECALL_READ = 1,
 
 constexpr uint32_t MAX_IO_BYTES = 1024;
 constexpr uint32_t MAX_IO_WORDS = 4;
-constexpr uint32_t MAX_SHA_COUNT = 1000;
+constexpr uint32_t MAX_SHA_COUNT = 10;  // circuit platform.rs:137
+
+// Cycle-state / row-type encoding (reference execute/platform.rs:101-196).
+// Preflight rows store (major, minor): instructions use InsnKind>>3 /
+// InsnKind&7; special states use major = 7 + state/8, minor = state%8.
+enum class CycleState : uint32_t {
+  LoadRootAndNonce = 0, Resume = 1, Suspend = 4, StoreRoot = 5,
+  ControlTable = 6, ControlDone = 7, MachineEcall = 8, Terminate = 9,
+  HostReadSetup = 10, HostWrite = 11, HostReadBytes = 12, HostReadWords = 13,
+  PoseidonEntry = 16, PoseidonLoadState = 17, PoseidonLoadIn = 18,
+  PoseidonDoOut = 21, PoseidonPaging = 22, PoseidonStoreState = 23,
+  PoseidonExtRound = 24, PoseidonIntRound = 25,
+  ShaEcall = 32, ShaLoadState = 33, ShaLoadData = 34, ShaMix = 35,
+  ShaStoreState = 36, BigIntEcall = 40, BigIntStep = 41, Decode = 48,
+};
 constexpr uint32_t PFLAG_IS_ELEM = 0x8000'0000;
 constexpr uint32_t PFLAG_CHECK_OUT = 0x4000'0000;
 
