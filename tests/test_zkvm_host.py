@@ -94,3 +94,40 @@ def test_serde_roundtrip():
     words = serde.to_vec((1, "x", b"\x01\x02"))
     assert serde.from_slice(words, (int, str, bytes)) == (1, "x", b"\x01\x02")
     assert serde.from_slice(serde.to_vec(1 << 40), "u64") == 1 << 40
+
+
+def test_default_prover_selection(monkeypatch):
+    from risc0_tpu.zkvm import client
+
+    monkeypatch.setenv("RISC0_DEV_MODE", "1")
+    monkeypatch.setenv("RISC0_PROVER", "local")
+    p = client.default_prover()
+    assert isinstance(p, client.LocalProver)
+    monkeypatch.setenv("RISC0_PROVER", "ipc")
+    assert isinstance(client.default_prover(), client.ExternalProver)
+    monkeypatch.setenv("RISC0_PROVER", "bogus")
+    with pytest.raises(ValueError, match="Unknown prover"):
+        client.default_prover()
+
+
+def test_external_prover_against_api(monkeypatch):
+    import tempfile
+    import threading
+
+    from risc0_tpu.zkvm.api_server import serve
+    from risc0_tpu.zkvm.client import ExternalProver
+    from risc0_tpu.zkvm.exec import ExecutorEnv
+
+    srv = serve(port=0, storage=tempfile.mkdtemp())
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        prover = ExternalProver(f"http://127.0.0.1:{srv.server_address[1]}")
+        elf = open(LOOP, "rb").read()
+        env = ExecutorEnv().write_slice((10).to_bytes(4, "little"))
+        res = prover.prove(env, elf)
+        assert res["status"] == "SUCCEEDED"
+        assert res["stats"]["segments"] == 1
+        assert res["receipt"]
+    finally:
+        srv.shutdown()
