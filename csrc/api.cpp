@@ -281,6 +281,93 @@ int r0_replay_segment(
   }
 }
 
+// Preflight: flat views passed to a callback (valid during the call only).
+struct R0PreflightView {
+  uint64_t num_cycles;
+  const uint32_t* cycles;       // (num_cycles, 11): state, pc, major, minor,
+                                // machine_mode, user_cycle, txn_idx,
+                                // paging_idx, bigint_idx, diff0, diff1
+  uint64_t num_txns;
+  const uint32_t* txns;         // (num_txns, 5): addr, cycle, word,
+                                // prev_cycle, prev_word
+  const uint8_t* back_kind;     // (num_cycles,)
+  const uint32_t* back_offset;  // (num_cycles,)
+  uint64_t back_data_len;
+  const uint32_t* back_data;
+  uint32_t table_split_cycle;
+};
+
+typedef void (*r0_preflight_fn)(void* user, const R0PreflightView* view);
+
+int r0_preflight_segment(
+    uint64_t num_pages, const uint32_t* page_indexes, const uint8_t* page_data,
+    uint64_t num_digests, const uint32_t* digest_indexes,
+    const uint32_t* digest_words, uint32_t suspend_cycle, uint32_t po2,
+    uint32_t segment_threshold, uint32_t has_terminate,
+    const uint8_t* read_record, const uint64_t* read_lens, uint64_t num_reads,
+    const uint32_t* write_lens, uint64_t num_writes,
+    const uint32_t input_digest[8], void* user, r0_preflight_fn cb) {
+  try {
+    Segment seg;
+    seg.po2 = po2;
+    seg.suspend_cycle = suspend_cycle;
+    seg.segment_threshold = segment_threshold;
+    if (has_terminate) seg.terminate_state = TerminateState{0, 0};
+    for (uint64_t i = 0; i < num_pages; i++) {
+      auto page = std::make_shared<Page>();
+      std::memcpy(page->data.data(), page_data + i * PAGE_BYTES, PAGE_BYTES);
+      seg.pages[page_indexes[i]] = page;
+    }
+    for (uint64_t i = 0; i < num_digests; i++) {
+      Digest d;
+      std::memcpy(d.data(), digest_words + i * 8, 32);
+      seg.page_digests[digest_indexes[i]] = d;
+    }
+    uint64_t off = 0;
+    for (uint64_t i = 0; i < num_reads; i++) {
+      seg.read_record.emplace_back(read_record + off,
+                                   read_record + off + read_lens[i]);
+      off += read_lens[i];
+    }
+    seg.write_record.assign(write_lens, write_lens + num_writes);
+    if (input_digest) std::memcpy(seg.input_digest.data(), input_digest, 32);
+
+    PreflightTrace trace = preflight_segment(seg, po2);
+
+    std::vector<uint32_t> cyc(trace.cycles.size() * 11);
+    for (size_t i = 0; i < trace.cycles.size(); i++) {
+      auto& c = trace.cycles[i];
+      uint32_t* row = &cyc[i * 11];
+      row[0] = c.state; row[1] = c.pc; row[2] = c.major; row[3] = c.minor;
+      row[4] = c.machine_mode; row[5] = c.user_cycle; row[6] = c.txn_idx;
+      row[7] = c.paging_idx; row[8] = c.bigint_idx; row[9] = c.diff_count[0];
+      row[10] = c.diff_count[1];
+    }
+    std::vector<uint32_t> txn(trace.txns.size() * 5);
+    for (size_t i = 0; i < trace.txns.size(); i++) {
+      auto& t = trace.txns[i];
+      uint32_t* row = &txn[i * 5];
+      row[0] = t.addr; row[1] = t.cycle; row[2] = t.word;
+      row[3] = t.prev_cycle; row[4] = t.prev_word;
+    }
+    R0PreflightView view{};
+    view.num_cycles = trace.cycles.size();
+    view.cycles = cyc.data();
+    view.num_txns = trace.txns.size();
+    view.txns = txn.data();
+    view.back_kind = trace.back_kind.data();
+    view.back_offset = trace.back_offset.data();
+    view.back_data_len = trace.back_data.size();
+    view.back_data = trace.back_data.data();
+    view.table_split_cycle = trace.table_split_cycle;
+    if (cb) cb(user, &view);
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return 1;
+  }
+}
+
 // Poseidon2 page digest of 1KiB of data (for tests / Python-side image ops).
 int r0_page_digest(const uint8_t* data, uint32_t out_digest[8]) {
   Page page;

@@ -492,6 +492,35 @@ enum class Exception : uint32_t {
   UserEnvCall = 9,
 };
 
+// Recording hooks for the preflight context (reference Risc0Context,
+// r0vm.rs:35-181: the executor uses fast register arrays; the preflight
+// routes registers through recorded memory transactions).
+struct Recorder {
+  virtual ~Recorder() = default;
+  virtual uint32_t recorded_load(struct Machine& m, uint32_t waddr) = 0;
+  virtual void recorded_store(struct Machine& m, uint32_t waddr,
+                              uint32_t word) = 0;
+  virtual void on_insn_end(struct Machine& m, uint32_t insn_kind) = 0;
+  virtual void on_ecall_cycle(struct Machine& m, CycleState cur,
+                              CycleState next, uint32_t s0, uint32_t s1,
+                              uint32_t s2) = 0;
+  virtual void on_sha_cycle(struct Machine& m, CycleState cur,
+                            const uint32_t sha_state[10]) = 0;
+  virtual void on_p2_cycle(struct Machine& m, CycleState cur,
+                           const struct P2State& p2) = 0;
+  virtual void on_resume(struct Machine& m) = 0;
+  virtual void on_suspend(struct Machine& m) = 0;
+  virtual void on_trap_rewind(struct Machine& m) = 0;
+};
+
+// Full Poseidon2 cycle state (reference execute/poseidon2.rs Poseidon2State)
+struct P2State {
+  uint32_t has_state = 0, state_addr = 0, buf_out_addr = 0, is_elem = 0,
+           check_out = 0, load_tx_type = 0, next_state = 0, sub_state = 0,
+           buf_in_addr = 0, count = 0, mode = 0;
+  uint32_t inner[24] = {0};
+};
+
 struct Machine {
   PagedMemory pager;
   uint32_t pc = 0;
@@ -505,6 +534,7 @@ struct Machine {
   std::vector<std::vector<uint8_t>> read_record;
   std::vector<uint32_t> write_record;
   HostIO* io = nullptr;
+  Recorder* rec = nullptr;
 
   explicit Machine(MemoryImage& image) : pager(image) {}
 
@@ -519,10 +549,23 @@ struct Machine {
   }
 
   // --- memory helpers -------------------------------------------------------
-  uint32_t load_mem(uint32_t waddr) { return pager.load(waddr); }
-  void store_mem(uint32_t waddr, uint32_t word) { pager.store(waddr, word); }
+  uint32_t load_mem(uint32_t waddr) {
+    return rec ? rec->recorded_load(*this, waddr) : pager.load(waddr);
+  }
+  void store_mem(uint32_t waddr, uint32_t word) {
+    if (rec)
+      rec->recorded_store(*this, waddr, word);
+    else
+      pager.store(waddr, word);
+  }
 
   uint32_t load_reg(uint32_t idx) {
+    // preflight context: register reads are recorded memory transactions
+    // (reference Risc0Context default load_register vs executor override)
+    if (rec) {
+      uint32_t base = machine_mode ? MACHINE_REGS / 4 : USER_REGS / 4;
+      return load_mem(base + idx);
+    }
     return machine_mode ? pager.machine_registers[idx]
                         : pager.user_registers[idx];
   }
@@ -530,7 +573,12 @@ struct Machine {
     // writes to x0 shunt to a dead location (r0vm.rs:700-707)
     if (idx == REG_ZERO) {
       uint32_t base = machine_mode ? MACHINE_REGS / 4 : USER_REGS / 4;
-      pager.store(base + REG_MAX * 2, word);
+      store_mem(base + REG_MAX * 2, word);
+      return;
+    }
+    if (rec) {
+      uint32_t base = machine_mode ? MACHINE_REGS / 4 : USER_REGS / 4;
+      store_mem(base + idx, word);
       return;
     }
     if (machine_mode)
@@ -538,17 +586,26 @@ struct Machine {
     else
       pager.user_registers[idx] = word;
   }
-  uint32_t load_machine_reg(uint32_t idx) { return pager.machine_registers[idx]; }
+  uint32_t load_machine_reg(uint32_t idx) {
+    if (rec) return load_mem(MACHINE_REGS / 4 + idx);
+    return pager.machine_registers[idx];
+  }
 
   uint8_t load_u8(uint32_t addr) {
-    uint32_t word = pager.load(addr / 4);
+    uint32_t word = load_mem(addr / 4);
     return (word >> (8 * (addr & 3))) & 0xff;
   }
   void store_u8(uint32_t addr, uint8_t byte) {
-    uint32_t word = pager.load(addr / 4);
+    uint32_t word = load_mem(addr / 4);
     uint32_t shift = 8 * (addr & 3);
     word = (word & ~(0xffu << shift)) | ((uint32_t)byte << shift);
-    pager.store(addr / 4, word);
+    store_mem(addr / 4, word);
+  }
+
+  void ecall_cycle(CycleState cur, CycleState next, uint32_t s0 = 0,
+                   uint32_t s1 = 0, uint32_t s2 = 0) {
+    inc_cycles(1);
+    if (rec) rec->on_ecall_cycle(*this, cur, next, s0, s1, s2);
   }
 
   std::vector<uint8_t> load_region_peek(uint32_t addr, uint32_t size) {
@@ -572,12 +629,17 @@ struct Machine {
   void suspend() {
     store_mem(SUSPEND_PC / 4, pc);
     store_mem(SUSPEND_MODE / 4, machine_mode);
+    if (rec) rec->on_suspend(*this);
   }
 
   void resume() {
     pc = load_mem(SUSPEND_PC / 4);
     if (pc < ZERO_PAGE_END) throw std::runtime_error("invalid resume pc");
     machine_mode = load_mem(SUSPEND_MODE / 4);
+    if (rec) {
+      rec->on_resume(*this);  // records Resume rows + input-digest stores
+      return;
+    }
     for (uint32_t i = 0; i < 8; i++)
       store_mem(GLOBAL_INPUT / 4 + i, input_digest[i]);
   }
@@ -592,6 +654,7 @@ struct Machine {
   }
 
   void trap(Exception cause) {
+    if (rec) rec->on_trap_rewind(*this);
     uint32_t dispatch_addr = load_mem(TRAP_DISPATCH / 4 + (uint32_t)cause);
     if (dispatch_addr % 4 != 0 || dispatch_addr < KERNEL_START ||
         dispatch_addr >= KERNEL_END) {
@@ -622,20 +685,27 @@ struct Machine {
   }
 
   bool ecall_terminate() {
-    inc_cycles(1);  // MachineEcall -> Terminate
+    ecall_cycle(CycleState::MachineEcall, CycleState::Terminate);
     uint32_t a0 = load_reg(REG_A0), a1 = load_reg(REG_A1);
     terminate_state = TerminateState{a0, a1};
     Digest out;
     for (uint32_t i = 0; i < 8; i++) out[i] = pager.peek(GLOBAL_OUTPUT / 4 + i);
     output_digest = out;
     pc += 4;
-    inc_cycles(1);  // Terminate -> Suspend
+    ecall_cycle(CycleState::Terminate, CycleState::Suspend);
     return false;
+  }
+
+  static CycleState next_io_state(uint32_t ptr, uint32_t rlen) {
+    if (rlen == 0) return CycleState::Decode;
+    if (ptr % 4 != 0 || rlen < 4) return CycleState::HostReadBytes;
+    return CycleState::HostReadWords;
   }
 
   bool ecall_read() {
     // mirrors r0vm.rs ecall_read cycle accounting
-    inc_cycles(1);  // MachineEcall -> HostReadSetup
+    ecall_cycle(CycleState::MachineEcall, CycleState::HostReadSetup);
+    CycleState cur_state = CycleState::HostReadSetup;
     uint32_t fd = load_reg(REG_A0);
     uint32_t ptr = load_reg(REG_A1);
     uint32_t len = load_reg(REG_A2);
@@ -649,13 +719,19 @@ struct Machine {
     read_record.emplace_back(bytes);
     store_reg(REG_A0, rlen);
     if (rlen == 0) pc += 4;
-    inc_cycles(1);  // first io state transition
+
+    auto add_cycle = [&]() {
+      CycleState next = next_io_state(ptr, rlen);
+      ecall_cycle(cur_state, next, ptr / 4, ptr & 3, rlen);
+      cur_state = next;
+    };
+    add_cycle();
     uint32_t i = 0;
     while (rlen > 0 && ptr % 4 != 0) {
       store_u8(ptr, bytes[i]);
       ptr++; i++; rlen--;
       if (rlen == 0) pc += 4;
-      inc_cycles(1);
+      add_cycle();
     }
     while (rlen >= MAX_IO_WORDS) {
       uint32_t words = std::min(rlen / MAX_IO_WORDS, MAX_IO_WORDS);
@@ -670,19 +746,19 @@ struct Machine {
         }
       }
       if (rlen == 0) pc += 4;
-      inc_cycles(1);
+      add_cycle();
     }
     while (rlen > 0) {
       store_u8(ptr, bytes[i]);
       ptr++; i++; rlen--;
       if (rlen == 0) pc += 4;
-      inc_cycles(1);
+      add_cycle();
     }
     return true;
   }
 
   bool ecall_write() {
-    inc_cycles(1);  // MachineEcall -> HostWrite
+    ecall_cycle(CycleState::MachineEcall, CycleState::HostWrite);
     uint32_t fd = load_reg(REG_A0);
     uint32_t ptr = load_reg(REG_A1);
     uint32_t len = load_reg(REG_A2);
@@ -693,7 +769,7 @@ struct Machine {
     write_record.push_back(rlen);
     store_reg(REG_A0, rlen);
     pc += 4;
-    inc_cycles(1);  // HostWrite -> Decode
+    ecall_cycle(CycleState::HostWrite, CycleState::Decode);
     return true;
   }
 
@@ -701,10 +777,32 @@ struct Machine {
   bool ecall_sha2();
   // poseidon2 accelerator (execute/poseidon2.rs)
   bool ecall_poseidon2();
+  void p2_step(P2State& p2, CycleState& cur_state, CycleState next,
+               uint32_t sub_state);
+  void p2_rest(P2State& p2, CycleState final_state);
 
   // --- emulator step (execute/rv32im.rs) ------------------------------------
   bool step();  // returns false when terminated
+
+  void insn_end(uint32_t insn_kind) {
+    inc_cycles(1);
+    if (rec) rec->on_insn_end(*this, insn_kind);
+  }
 };
+
+// internal compute-op code -> reference InsnKind value
+static const uint8_t kComputeOpToKind[56] = {
+    /*0..9*/ 0, 1, 2, 3, 4, 5, 6, 33, 24, 32,
+    /*10..15*/ 255, 255, 255, 255, 255, 255,
+    /*16..23*/ 26, 27, 28, 29, 36, 37, 38, 39,
+    /*24..32*/ 7, 8, 11, 12, 25, 34, 35, 9, 10,
+    /*33..39*/ 255, 255, 255, 255, 255, 255, 255,
+    /*40..43*/ 21, 22, 19, 20,
+    /*44..47*/ 255, 255, 255, 255,
+    /*48..55*/ 13, 14, 255, 255, 15, 16, 17, 18,
+};
+static const uint8_t kLoadFunc3ToKind[8] = {40, 41, 42, 255, 43, 44, 255, 255};
+static const uint8_t kStoreFunc3ToKind[8] = {48, 49, 50, 255, 255, 255, 255, 255};
 
 // sha helpers
 static inline uint32_t rotr(uint32_t x, int n) { return (x >> n) | (x << (32 - n)); }
@@ -712,7 +810,7 @@ static inline uint32_t bswap(uint32_t x) { return __builtin_bswap32(x); }
 
 bool Machine::ecall_sha2() {
   pc += 4;
-  inc_cycles(1);  // MachineEcall -> ShaEcall
+  ecall_cycle(CycleState::MachineEcall, CycleState::ShaEcall);
   auto check_addr = [](uint32_t a) {
     if (a < ZERO_PAGE_END) throw std::runtime_error("bad sha addr");
     return a / 4;
@@ -723,6 +821,20 @@ bool Machine::ecall_sha2() {
   uint32_t count = load_machine_reg(REG_A3) & 0xffff;
   uint32_t k_addr = check_addr(load_machine_reg(REG_A4));
   if (count > MAX_SHA_COUNT) throw std::runtime_error("sha count too big");
+
+  // recorded Sha2State (reference execute/sha2.rs:31-41)
+  uint32_t cur_a = 0, cur_e = 0, cur_w = 0, round = 0;
+  CycleState cur_state = CycleState::ShaEcall;
+  auto sha_step = [&](CycleState next) {
+    inc_cycles(1);
+    if (rec) {
+      uint32_t st[10] = {state_in * 4, state_out * 4, data_addr * 4, count,
+                         k_addr * 4, round, (uint32_t)next, cur_a, cur_e,
+                         cur_w};
+      rec->on_sha_cycle(*this, cur_state, st);
+    }
+    cur_state = next;
+  };
 
   constexpr int BACK = 4 + 16 + 48;
   uint32_t old_a[BACK] = {0}, old_e[BACK] = {0}, old_w[16] = {0};
@@ -746,106 +858,162 @@ bool Machine::ecall_sha2() {
   };
 
   for (uint32_t i = 0; i < 4; i++) {
-    inc_cycles(1);
+    round = i;
+    sha_step(CycleState::ShaLoadState);
     uint32_t a = load_mem(state_in + 3 - i);
     uint32_t e = load_mem(state_in + 7 - i);
-    push_a(bswap(a));
-    push_e(bswap(e));
+    cur_a = bswap(a);
+    cur_e = bswap(e);
+    push_a(cur_a);
+    push_e(cur_e);
     store_mem(state_out + 3 - i, a);
     store_mem(state_out + 7 - i, e);
   }
 
   while (count != 0) {
     for (uint32_t i = 0; i < 16; i++) {
-      inc_cycles(1);
+      round = i;
+      sha_step(CycleState::ShaLoadData);
       uint32_t k = load_mem(k_addr + i);
-      uint32_t w = bswap(load_mem(data_addr));
+      cur_w = bswap(load_mem(data_addr));
       data_addr++;
-      push_w(w);
-      uint32_t a, e;
-      compute_ae(k, w, &a, &e);
-      push_a(a);
-      push_e(e);
+      push_w(cur_w);
+      compute_ae(k, cur_w, &cur_a, &cur_e);
+      push_a(cur_a);
+      push_e(cur_e);
     }
     for (uint32_t i = 0; i < 48; i++) {
-      inc_cycles(1);
+      round = i;
+      sha_step(CycleState::ShaMix);
       uint32_t k = load_mem(k_addr + 16 + i);
-      uint32_t w = (rotr(back_w(2), 17) ^ rotr(back_w(2), 19) ^ (back_w(2) >> 10)) +
-                   back_w(7) +
-                   (rotr(back_w(15), 7) ^ rotr(back_w(15), 18) ^ (back_w(15) >> 3)) +
-                   back_w(16);
-      push_w(w);
-      uint32_t a, e;
-      compute_ae(k, w, &a, &e);
-      push_a(a);
-      push_e(e);
+      cur_w = (rotr(back_w(2), 17) ^ rotr(back_w(2), 19) ^ (back_w(2) >> 10)) +
+              back_w(7) +
+              (rotr(back_w(15), 7) ^ rotr(back_w(15), 18) ^ (back_w(15) >> 3)) +
+              back_w(16);
+      push_w(cur_w);
+      compute_ae(k, cur_w, &cur_a, &cur_e);
+      push_a(cur_a);
+      push_e(cur_e);
     }
     for (uint32_t i = 0; i < 4; i++) {
-      inc_cycles(1);
-      uint32_t a = back_a(4) + back_a(BACK);
-      uint32_t e = back_e(4) + back_e(BACK);
+      round = i;
+      sha_step(CycleState::ShaStoreState);
+      cur_a = back_a(4) + back_a(BACK);
+      cur_e = back_e(4) + back_e(BACK);
+      cur_w = 0;
       if (i == 3) count--;
-      push_a(a);
-      push_e(e);
-      store_mem(state_out + 3 - i, bswap(a));
-      store_mem(state_out + 7 - i, bswap(e));
+      push_a(cur_a);
+      push_e(cur_e);
+      store_mem(state_out + 3 - i, bswap(cur_a));
+      store_mem(state_out + 7 - i, bswap(cur_e));
     }
   }
-  inc_cycles(1);  // final state transition
+  round = 0;
+  sha_step(CycleState::Decode);
   return true;
+}
+
+// Poseidon2 rest() state machine (reference execute/poseidon2.rs:87-180);
+// shared by the guest ecall and the paging phases.  All addresses in P2State
+// are WORD addresses.
+void Machine::p2_step(P2State& p2, CycleState& cur_state, CycleState next,
+                      uint32_t sub_state) {
+  p2.next_state = (uint32_t)next;
+  p2.sub_state = sub_state;
+  inc_cycles(1);
+  if (rec) rec->on_p2_cycle(*this, cur_state, p2);
+  cur_state = next;
+}
+
+static void p2_ext_round(uint32_t inner[24], int idx) {
+  if (idx >= 4) idx += 21;  // skip partial-round constants
+  for (int i = 0; i < 24; i++)
+    inner[i] = sbox7(bb_add(inner[i], P2_ROUND_CONSTANTS[idx * 24 + i]));
+  mul_m_ext(inner);
+}
+
+static void p2_int_rounds(uint32_t inner[24]) {
+  for (int r = 0; r < 21; r++) {
+    inner[0] = sbox7(bb_add(inner[0], P2_ROUND_CONSTANTS[(4 + r) * 24]));
+    mul_m_int(inner);
+  }
+}
+
+void Machine::p2_rest(P2State& p2, CycleState final_state) {
+  CycleState cur_state = (CycleState)p2.next_state;
+  uint32_t state_addr = p2.state_addr;
+
+  if (p2.has_state == 1) {
+    p2_step(p2, cur_state, CycleState::PoseidonLoadState, 0);
+    for (int i = 0; i < 8; i++) p2.inner[16 + i] = load_mem(state_addr + i);
+  }
+
+  while (p2.count > 0) {
+    p2_step(p2, cur_state, CycleState::PoseidonLoadIn, 0);
+    if (p2.is_elem != 0) {
+      for (int i = 0; i < 8; i++) p2.inner[i] = load_mem(p2.buf_in_addr++);
+      p2_step(p2, cur_state, CycleState::PoseidonLoadIn, 1);
+      for (int i = 0; i < 8; i++) p2.inner[8 + i] = load_mem(p2.buf_in_addr++);
+    } else {
+      for (int i = 0; i < 8; i++) {
+        uint32_t word = load_mem(p2.buf_in_addr++);
+        p2.inner[2 * i] = word & 0xffff;
+        p2.inner[2 * i + 1] = word >> 16;
+      }
+    }
+    mul_m_ext(p2.inner);
+    for (int i = 0; i < 4; i++) {
+      p2_step(p2, cur_state, CycleState::PoseidonExtRound, i);
+      p2_ext_round(p2.inner, i);
+    }
+    p2_step(p2, cur_state, CycleState::PoseidonIntRound, 0);
+    p2_int_rounds(p2.inner);
+    for (int i = 4; i < 8; i++) {
+      p2_step(p2, cur_state, CycleState::PoseidonExtRound, i);
+      p2_ext_round(p2.inner, i);
+    }
+    p2.count--;
+  }
+
+  p2_step(p2, cur_state, CycleState::PoseidonDoOut, 0);
+  if (p2.check_out != 0) {
+    for (int i = 0; i < 8; i++) {
+      uint32_t word = load_mem(p2.buf_out_addr + i);
+      if (word != p2.inner[i])
+        throw std::runtime_error("poseidon2 check failed");
+    }
+  } else {
+    for (int i = 0; i < 8; i++) store_mem(p2.buf_out_addr + i, p2.inner[i]);
+  }
+  p2.buf_in_addr = 0;
+  if (p2.has_state == 1) {
+    p2_step(p2, cur_state, CycleState::PoseidonStoreState, 0);
+    for (int i = 0; i < 8; i++) store_mem(state_addr + i, p2.inner[16 + i]);
+  }
+  p2_step(p2, cur_state, final_state, 0);
 }
 
 bool Machine::ecall_poseidon2() {
   pc += 4;
-  inc_cycles(1);  // MachineEcall -> PoseidonEntry
+  ecall_cycle(CycleState::MachineEcall, CycleState::PoseidonEntry);
+  // reference poseidon2.rs:285-293: registers carry WORD addresses
   uint32_t state_addr = load_machine_reg(REG_A0);
   uint32_t buf_in = load_machine_reg(REG_A1);
   uint32_t buf_out = load_machine_reg(REG_A2);
   uint32_t bits_count = load_machine_reg(REG_A3);
-  bool is_elem = bits_count & PFLAG_IS_ELEM;
-  bool check_out = bits_count & PFLAG_CHECK_OUT;
-  uint32_t count = bits_count & 0xffff;
-  bool has_state = state_addr != 0;
 
-  uint32_t inner[24] = {0};
-  if (has_state) {
-    inc_cycles(1);  // PoseidonLoadState
-    for (int i = 0; i < 8; i++) inner[16 + i] = load_mem(state_addr / 4 + i);
-  }
-  uint32_t in_w = buf_in / 4;
-  while (count > 0) {
-    inc_cycles(1);  // PoseidonLoadIn
-    if (is_elem) {
-      for (int i = 0; i < 8; i++) inner[i] = load_mem(in_w++);
-      inc_cycles(1);  // second load cycle
-      for (int i = 0; i < 8; i++) inner[8 + i] = load_mem(in_w++);
-    } else {
-      for (int i = 0; i < 8; i++) {
-        uint32_t word = load_mem(in_w++);
-        inner[2 * i] = word & 0xffff;
-        inner[2 * i + 1] = word >> 16;
-      }
-    }
-    // cycles: 8 ext rounds + 1 int round batch == poseidon2_mix cost model
-    // (poseidon2.rs rest(): 4 ext + 1 int + 4 ext state steps)
-    inc_cycles(4 + 1 + 4);
-    poseidon2_mix(inner);
-    count--;
-  }
-  inc_cycles(1);  // PoseidonDoOut
-  if (check_out) {
-    for (int i = 0; i < 8; i++) {
-      uint32_t word = load_mem(buf_out / 4 + i);
-      if (word != inner[i]) throw std::runtime_error("poseidon2 check failed");
-    }
-  } else {
-    for (int i = 0; i < 8; i++) store_mem(buf_out / 4 + i, inner[i]);
-  }
-  if (has_state) {
-    inc_cycles(1);  // PoseidonStoreState
-    for (int i = 0; i < 8; i++) store_mem(state_addr / 4 + i, inner[16 + i]);
-  }
-  inc_cycles(1);  // final transition
+  P2State p2;
+  p2.state_addr = state_addr;
+  p2.buf_in_addr = buf_in;
+  p2.buf_out_addr = buf_out;
+  p2.has_state = state_addr != 0;
+  p2.is_elem = (bits_count & PFLAG_IS_ELEM) ? 1 : 0;
+  p2.check_out = (bits_count & PFLAG_CHECK_OUT) ? 1 : 0;
+  p2.count = bits_count & 0xffff;
+  p2.mode = 1;
+  p2.load_tx_type = 0;  // tx::READ
+  p2.next_state = (uint32_t)CycleState::PoseidonEntry;
+  p2_rest(p2, CycleState::Decode);
   return true;
 }
 
@@ -958,7 +1126,7 @@ bool Machine::step() {
               return true;
             }
             enter_trap(dispatch_addr);
-            inc_cycles(1);
+            insn_end(56);  // Eany
             return true;
           }
           case 1: trap(Exception::Breakpoint); return true;
@@ -972,11 +1140,11 @@ bool Machine::step() {
           pc = mepc + 4;
           machine_mode = 0;
         }
-        inc_cycles(1);
+        insn_end(57);  // Mret
         return true;
       case 2:  // fence
         pc += 4;
-        inc_cycles(1);
+        insn_end(58);  // Fence
         return true;
     }
   }
@@ -1007,13 +1175,15 @@ bool Machine::step() {
     }
     store_reg(rdi, out);
     pc += 4;
-    inc_cycles(1);
+    insn_end(kLoadFunc3ToKind[op]);
     return true;
   }
 
   if (cls == STORE) {
+    // rs2==rs1 must not re-record the same (addr, cycle) memory txn
+    // (reference execute/rv32im.rs:317-328 load_rs2 returns the cached rs1)
     uint32_t rs1 = load_reg(rs1i);
-    uint32_t rs2 = load_reg(rs2i);
+    uint32_t rs2 = rs2i == rs1i ? rs1 : load_reg(rs2i);
     uint32_t addr = rs1 + imm_s;
     uint32_t shift = 8 * (addr & 3);
     if (!check_data_addr(addr)) {
@@ -1037,13 +1207,14 @@ bool Machine::step() {
     }
     store_mem(addr / 4, data);
     pc += 4;
-    inc_cycles(1);
+    insn_end(kStoreFunc3ToKind[op]);
     return true;
   }
 
   // COMPUTE
+  // rs2==rs1 reuses the loaded value (reference execute/rv32im.rs:317-328)
   uint32_t rs1 = load_reg(rs1i);
-  uint32_t rs2 = load_reg(rs2i);
+  uint32_t rs2 = rs2i == rs1i ? rs1 : load_reg(rs2i);
   uint32_t new_pc = insn_pc + 4;
   uint32_t rd = rdi;
   uint32_t out = 0;
@@ -1108,7 +1279,7 @@ bool Machine::step() {
   }
   store_reg(rd, out);
   pc = new_pc;
-  inc_cycles(1);
+  insn_end(kComputeOpToKind[op]);
   return true;
 }
 
@@ -1362,3 +1533,5 @@ ExecResult execute(MemoryImage image, uint32_t segment_po2,
 }
 
 }  // namespace r0
+
+#include "preflight.inc"

@@ -232,4 +232,40 @@ struct ReplayResult {
 
 ReplayResult replay_segment(const Segment& seg, const Digest& input_digest);
 
+// ---------------------------------------------------------------------------
+// Preflight trace (reference rv32im-sys/src/lib.rs:22-59)
+// ---------------------------------------------------------------------------
+
+struct RawPreflightCycle {
+  uint32_t state;      // CycleState recorded as the row's next-state
+  uint32_t pc;
+  uint8_t major, minor, machine_mode, padding;
+  uint32_t user_cycle;
+  uint32_t txn_idx;
+  uint32_t paging_idx;
+  uint32_t bigint_idx;
+  uint32_t diff_count[2];
+};
+
+struct RawMemoryTransaction {
+  uint32_t addr;       // word address
+  uint32_t cycle;      // 2*row (load) or 2*row+1 (store)
+  uint32_t word;
+  uint32_t prev_cycle;
+  uint32_t prev_word;
+};
+
+struct PreflightTrace {
+  std::vector<RawPreflightCycle> cycles;
+  std::vector<RawMemoryTransaction> txns;
+  // per-row "back" payloads (ecall args / sha state / poseidon2 state)
+  std::vector<uint8_t> back_kind;      // 0 none, 1 ecall, 2 sha, 3 p2
+  std::vector<uint32_t> back_offset;   // per-row offset into back_data
+  std::vector<uint32_t> back_data;
+  uint32_t table_split_cycle = 0;
+};
+
+// Re-execute a segment recording the witgen trace.
+PreflightTrace preflight_segment(const Segment& seg, uint32_t po2);
+
 }  // namespace r0

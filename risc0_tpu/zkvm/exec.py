@@ -74,6 +74,7 @@ class SegmentInfo:
     po2: int
     user_cycles: int
     paging_cycles: int
+    segment_threshold: int
     pre_digest: np.ndarray
     post_digest: np.ndarray
     input_digest: np.ndarray
@@ -236,6 +237,62 @@ def _digest_np(arr) -> np.ndarray:
     return np.array(list(arr), np.uint32)
 
 
+def preflight_segment(seg: "SegmentInfo") -> dict:
+    """Record the witgen preflight trace for a segment (reference
+    prove/witgen/preflight.rs): per-cycle rows, memory transactions, and
+    back payloads for the accelerator cycles.
+
+    Returns dict with numpy arrays: cycles (n, 11), txns (m, 5),
+    back_kind (n,), back_offset (n,), back_data (k,), table_split_cycle.
+    """
+    lib = native.lib()
+    page_indexes = np.array(sorted(seg.pages), np.uint32)
+    page_data = b"".join(seg.pages[i] for i in page_indexes)
+    digest_indexes = np.array(sorted(seg.page_digests), np.uint32)
+    digest_words = np.concatenate(
+        [seg.page_digests[i] for i in digest_indexes]).astype(np.uint32) \
+        if len(digest_indexes) else np.zeros(0, np.uint32)
+    reads = b"".join(seg.read_record)
+    read_lens = np.array([len(r) for r in seg.read_record], np.uint64)
+    write_lens = np.array(seg.write_record, np.uint32)
+    input_d = np.asarray(seg.input_digest, np.uint32)
+
+    out = {}
+
+    def on_view(user, view_ptr):
+        v = view_ptr.contents
+        n, m, k = v.num_cycles, v.num_txns, v.back_data_len
+        out["cycles"] = np.ctypeslib.as_array(v.cycles, (n, 11)).copy() \
+            if n else np.zeros((0, 11), np.uint32)
+        out["txns"] = np.ctypeslib.as_array(v.txns, (m, 5)).copy() \
+            if m else np.zeros((0, 5), np.uint32)
+        out["back_kind"] = np.ctypeslib.as_array(v.back_kind, (n,)).copy()
+        out["back_offset"] = np.ctypeslib.as_array(v.back_offset, (n,)).copy()
+        out["back_data"] = np.ctypeslib.as_array(v.back_data, (k,)).copy() \
+            if k else np.zeros(0, np.uint32)
+        out["table_split_cycle"] = v.table_split_cycle
+
+    cb = native.PREFLIGHT_FN(on_view)
+    rc = lib.r0_preflight_segment(
+        len(page_indexes),
+        page_indexes.ctypes.data_as(C.POINTER(C.c_uint32)),
+        C.cast(C.create_string_buffer(page_data, len(page_data)),
+               C.POINTER(C.c_uint8)),
+        len(digest_indexes),
+        digest_indexes.ctypes.data_as(C.POINTER(C.c_uint32)),
+        digest_words.ctypes.data_as(C.POINTER(C.c_uint32)),
+        seg.user_cycles, seg.po2, getattr(seg, "segment_threshold", 0) or 0,
+        1 if seg.terminate_state is not None else 0,
+        C.cast(C.create_string_buffer(reads, max(len(reads), 1)),
+               C.POINTER(C.c_uint8)),
+        read_lens.ctypes.data_as(C.POINTER(C.c_uint64)), len(read_lens),
+        write_lens.ctypes.data_as(C.POINTER(C.c_uint32)), len(write_lens),
+        input_d.ctypes.data_as(C.POINTER(C.c_uint32)), None, cb)
+    if rc != 0:
+        raise RuntimeError(lib.r0_last_error().decode())
+    return out
+
+
 def replay_segment(seg: "SegmentInfo", input_digest=None) -> dict:
     """Deterministically re-execute one segment standalone from its partial
     pre-image + recorded IO (reference execute/segment.rs:69-84).
@@ -357,6 +414,7 @@ class ExecutorImpl:
             info = SegmentInfo(
                 index=seg.index, po2=seg.po2,
                 user_cycles=seg.suspend_cycle, paging_cycles=seg.paging_cycles,
+                segment_threshold=seg.segment_threshold,
                 pre_digest=_digest_np(seg.pre_digest),
                 post_digest=_digest_np(seg.post_digest),
                 input_digest=_digest_np(seg.input_digest),

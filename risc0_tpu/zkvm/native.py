@@ -75,6 +75,23 @@ class R0Segment(C.Structure):
 SEGMENT_FN = C.CFUNCTYPE(None, C.c_void_p, C.POINTER(R0Segment))
 
 
+class R0PreflightView(C.Structure):
+    _fields_ = [
+        ("num_cycles", C.c_uint64),
+        ("cycles", C.POINTER(C.c_uint32)),
+        ("num_txns", C.c_uint64),
+        ("txns", C.POINTER(C.c_uint32)),
+        ("back_kind", C.POINTER(C.c_uint8)),
+        ("back_offset", C.POINTER(C.c_uint32)),
+        ("back_data_len", C.c_uint64),
+        ("back_data", C.POINTER(C.c_uint32)),
+        ("table_split_cycle", C.c_uint32),
+    ]
+
+
+PREFLIGHT_FN = C.CFUNCTYPE(None, C.c_void_p, C.POINTER(R0PreflightView))
+
+
 class R0ReplayResult(C.Structure):
     _fields_ = [
         ("user_cycles", C.c_uint32),
@@ -133,6 +150,14 @@ def _configure(l):
         C.POINTER(C.c_uint8), C.POINTER(C.c_uint64), C.c_uint64,
         C.POINTER(C.c_uint32), C.c_uint64,
         C.POINTER(C.c_uint32), C.POINTER(R0ReplayResult)]
+    l.r0_preflight_segment.restype = C.c_int
+    l.r0_preflight_segment.argtypes = [
+        C.c_uint64, C.POINTER(C.c_uint32), C.POINTER(C.c_uint8),
+        C.c_uint64, C.POINTER(C.c_uint32), C.POINTER(C.c_uint32),
+        C.c_uint32, C.c_uint32, C.c_uint32, C.c_uint32,
+        C.POINTER(C.c_uint8), C.POINTER(C.c_uint64), C.c_uint64,
+        C.POINTER(C.c_uint32), C.c_uint64,
+        C.POINTER(C.c_uint32), C.c_void_p, PREFLIGHT_FN]
     l.r0_page_digest.restype = C.c_int
     l.r0_page_digest.argtypes = [C.c_char_p, C.POINTER(C.c_uint32)]
     l.r0_digest_pair.restype = C.c_int

@@ -123,3 +123,53 @@ def test_replay_rejects_corrupted_page(loop_elf):
     r = replay_segment(seg)
     # corrupted pre-image diverges from the claimed pre digest
     assert not np.array_equal(r["pre_digest"], seg.pre_digest)
+
+
+def _validate_preflight(seg):
+    """Strong oracles on a preflight trace (reference witgen/preflight.rs):
+    exact 2^po2 rows, valid per-address txn chains with wrap-around
+    prev_cycle, diff_count bookkeeping, user-cycle accounting."""
+    from collections import defaultdict
+
+    from risc0_tpu.zkvm.exec import preflight_segment
+
+    pf = preflight_segment(seg)
+    c, t = pf["cycles"], pf["txns"]
+    assert len(c) == 1 << seg.po2
+    by_addr = defaultdict(list)
+    for addr, cyc, word, prevc, prevw in t:
+        by_addr[addr].append((cyc, prevc))
+    for addr, lst in by_addr.items():
+        cycles = [x[0] for x in lst]
+        assert cycles == sorted(set(cycles)), addr
+        # first access wraps prev_cycle to the final access of the segment
+        assert lst[0][1] == cycles[-1]
+        for i in range(1, len(lst)):
+            assert lst[i][1] == cycles[i - 1]
+    # suspend_cycle = insn count + user-mode special cycles (ecall/sha)
+    n_special = int((pf["back_kind"] == 1).sum() + (pf["back_kind"] == 2).sum())
+    assert int(c[:, 5].max()) + n_special == seg.user_cycles
+    # each non-first txn contributes exactly one diff_count; non-terminated
+    # segments add one more for the segment-threshold slack (fini)
+    extra = 0 if seg.terminate_state is not None else 1
+    assert int(c[:, 9].sum() + c[:, 10].sum()) == len(t) - len(by_addr) + extra
+    assert (np.diff(c[:, 6].astype(np.int64)) >= 0).all()
+    return pf
+
+
+def test_preflight_terminated_segment(loop_elf):
+    env = ExecutorEnv(segment_po2=16).write_slice((100).to_bytes(4, "little"))
+    s = ExecutorImpl(env, loop_elf).run()
+    pf = _validate_preflight(s.segments[0])
+    assert pf["table_split_cycle"] > 0
+
+
+def test_preflight_suspended_segments(loop_elf):
+    env = ExecutorEnv(segment_po2=15).write_slice((5000).to_bytes(4, "little"))
+    s = ExecutorImpl(env, loop_elf).run()
+    assert len(s.segments) >= 3
+    for seg in s.segments[:2]:
+        assert seg.terminate_state is None
+        _validate_preflight(seg)
+    assert s.segments[-1].terminate_state is not None
+    _validate_preflight(s.segments[-1])
