@@ -1,0 +1,470 @@
+// rv32im witness-generation bytecode interpreter.
+//
+// Executes the bytecode extracted by scripts/extract_witgen.py from the
+// reference's generated witgen (risc0/circuit/rv32im-sys/kernels/cxx/
+// steps.cpp).  Mirrors the reference driver semantics (kernels/cxx/ffi.cpp:
+// risc0_circuit_rv32im_cpu_witgen / _accum): data buffers are column-major
+// [col * rows + row], cells start INVALID, stores are write-once-consistent,
+// rows run in parallel in two phases split at tableSplitCycle.
+//
+// Field arithmetic is plain BabyBear (standard form, not Montgomery): the
+// generated code compares/bit-twiddles raw values (to_size_t, bitAnd,
+// inRange), so standard form is the natural representation here.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <memory>
+#include <cstring>
+#include <stdexcept>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace r0wg {
+
+constexpr uint32_t P = 15 * (1u << 27) + 1;  // 2013265921
+constexpr uint32_t INVALID = 0xffffffffu;
+
+inline uint32_t fp_add(uint32_t a, uint32_t b) {
+  uint32_t r = a + b;
+  return r >= P ? r - P : r;
+}
+inline uint32_t fp_sub(uint32_t a, uint32_t b) {
+  return a >= b ? a - b : a + P - b;
+}
+inline uint32_t fp_mul(uint32_t a, uint32_t b) {
+  return (uint32_t)((uint64_t)a * b % P);
+}
+inline uint32_t fp_pow(uint32_t a, uint32_t e) {
+  uint32_t r = 1;
+  while (e) {
+    if (e & 1) r = fp_mul(r, a);
+    a = fp_mul(a, a);
+    e >>= 1;
+  }
+  return r;
+}
+inline uint32_t fp_inv(uint32_t a) { return fp_pow(a, P - 2); }
+
+// BabyBear ext field x^4 + 11 (NBETA = P - 11), matching risc0 fpext.h
+constexpr uint32_t BETA = 11;
+constexpr uint32_t NBETA = P - 11;
+
+inline void ext_mul(const uint32_t* a, const uint32_t* b, uint32_t* o) {
+  // schoolbook with reduction by x^4 = NBETA (x^4 + 11 irreducible)
+  uint32_t r0 = fp_add(fp_mul(a[0], b[0]),
+                fp_mul(NBETA, fp_add(fp_add(fp_mul(a[1], b[3]),
+                                            fp_mul(a[2], b[2])),
+                                     fp_mul(a[3], b[1]))));
+  uint32_t r1 = fp_add(fp_add(fp_mul(a[0], b[1]), fp_mul(a[1], b[0])),
+                fp_mul(NBETA, fp_add(fp_mul(a[2], b[3]),
+                                     fp_mul(a[3], b[2]))));
+  uint32_t r2 = fp_add(fp_add(fp_mul(a[0], b[2]), fp_mul(a[1], b[1])),
+                fp_add(fp_mul(a[2], b[0]),
+                       fp_mul(NBETA, fp_mul(a[3], b[3]))));
+  uint32_t r3 = fp_add(fp_add(fp_mul(a[0], b[3]), fp_mul(a[1], b[2])),
+                fp_add(fp_mul(a[2], b[1]), fp_mul(a[3], b[0])));
+  o[0] = r0; o[1] = r1; o[2] = r2; o[3] = r3;
+}
+
+inline void ext_inv(const uint32_t* a, uint32_t* o) {
+  // composite-field inverse, matching risc0_tpu/field.py ext_inv_np
+  // (reference baby_bear.rs:448-481)
+  uint32_t b0 = fp_add(fp_mul(a[0], a[0]),
+                       fp_mul(BETA, fp_sub(fp_mul(a[1], fp_add(a[3], a[3])),
+                                           fp_mul(a[2], a[2]))));
+  uint32_t b2 = fp_add(fp_sub(fp_mul(a[0], fp_add(a[2], a[2])),
+                              fp_mul(a[1], a[1])),
+                       fp_mul(BETA, fp_mul(a[3], a[3])));
+  uint32_t c = fp_add(fp_mul(b0, b0), fp_mul(BETA, fp_mul(b2, b2)));
+  uint32_t ic = fp_inv(c);
+  b0 = fp_mul(b0, ic);
+  b2 = fp_mul(b2, ic);
+  o[0] = fp_add(fp_mul(a[0], b0), fp_mul(BETA, fp_mul(a[2], b2)));
+  o[1] = fp_add(fp_mul(fp_sub(0, a[1]), b0), fp_mul(NBETA, fp_mul(a[3], b2)));
+  o[2] = fp_add(fp_mul(fp_sub(0, a[0]), b2), fp_mul(a[2], b0));
+  o[3] = fp_sub(fp_mul(a[1], b2), fp_mul(a[3], b0));
+}
+
+// Opcodes — must match scripts/extract_witgen.py OPS order.
+enum Op : uint32_t {
+  CONST, ADD, SUB, MUL, NEG, ISZ, INV, BITAND, MOD, INRANGE, LOAD, STORE,
+  ELOAD, ESTORE, EADD, ESUB, EMUL, EINV, EMULS, EFROMVAL, ECONST, EEQZ,
+  MOV, EMOV, EQZ, JZ, JMP, UNREACHABLE,
+  X_GET_MAJOR_MINOR, X_GET_MEM_TXN, X_LOOKUP_DELTA, X_LOOKUP_CURRENT,
+  X_MEMORY_DELTA, X_GET_DIFF_COUNT, X_IS_FIRST_CYCLE, X_DIVIDE,
+  X_HOST_READ_PREPARE, X_HOST_WRITE, X_NEXT_PAGING_IDX, X_BIGINT_EXTERN,
+  NOP,
+};
+
+struct WitgenCtx {
+  // preflight (flat arrays as produced by r0_preflight_segment)
+  const uint32_t* cycles;  // n x 11: state,pc,major,minor,mm,uc,txn,pg,bi,d0,d1
+  uint64_t num_cycles;
+  const uint32_t* txns;    // m x 5: addr,cycle,word,prev_cycle,prev_word
+  uint64_t num_txns;
+  const uint32_t* bigint_bytes;
+  uint64_t num_bigint_bytes;
+
+  // buffers, column-major [col * rows + row]
+  uint32_t* data;
+  uint32_t* global;
+  uint32_t* accum;
+  const uint32_t* mix;
+  uint64_t rows;
+  uint32_t user_accum_split;  // zeroBack for the accum buffer
+
+  // lookup tables
+  std::unique_ptr<std::atomic<uint32_t>[]> tab8 =
+      std::make_unique<std::atomic<uint32_t>[]>(256);
+  std::unique_ptr<std::atomic<uint32_t>[]> tab16 =
+      std::make_unique<std::atomic<uint32_t>[]>(65536);
+  WitgenCtx() {
+    for (int i = 0; i < 256; i++) tab8[i] = 0;
+    for (int i = 0; i < 65536; i++) tab16[i] = 0;
+  }
+};
+
+struct RowError {
+  std::string msg;
+};
+
+// reference kernels/cxx/ffi.cpp:33 divide_rv32im
+inline void divide_rv32im(uint32_t numer, uint32_t denom, uint32_t sign_type,
+                          uint32_t& quot, uint32_t& rem) {
+  uint32_t ones_comp = (sign_type == 2);
+  bool neg_numer = sign_type && (int32_t)numer < 0;
+  bool neg_denom = sign_type == 1 && (int32_t)denom < 0;
+  if (neg_numer) numer = -numer - ones_comp;
+  if (neg_denom) denom = -denom - ones_comp;
+  if (denom == 0) {
+    quot = 0xffffffff;
+    rem = numer;
+  } else {
+    quot = numer / denom;
+    rem = numer % denom;
+  }
+  uint32_t quot_neg = (neg_numer ^ neg_denom) - ((denom == 0) && neg_numer);
+  if (quot_neg) quot = -quot - ones_comp;
+  if (neg_numer) rem = -rem - ones_comp;
+}
+
+class Interp {
+ public:
+  Interp(const uint32_t* ops, uint64_t n_ops, uint32_t n_slots,
+         const uint32_t* extconsts, WitgenCtx& ctx)
+      : ops_(ops), n_ops_(n_ops), ext_(extconsts), ctx_(ctx) {
+    slots_.resize(n_slots);
+  }
+
+  uint32_t buf_load(uint32_t buf, uint32_t col, uint32_t back, uint64_t row) {
+    uint64_t rows = ctx_.rows;
+    uint32_t* b;
+    switch (buf) {
+      case 0: b = ctx_.data; break;
+      case 1: return ctx_.global[col];
+      case 2:
+        if (ctx_.user_accum_split && col > ctx_.user_accum_split && back > 0)
+          return 0;
+        b = ctx_.accum;
+        break;
+      default: return ctx_.mix[col];
+    }
+    uint64_t r = (rows + row - back) % rows;
+    uint32_t v = b[(uint64_t)col * rows + r];
+    if (v == INVALID)
+      throw std::runtime_error("witgen: read of unset value col " +
+                               std::to_string(col) + " back " +
+                               std::to_string(back) + " row " +
+                               std::to_string(row));
+    return v;
+  }
+
+  void buf_store(uint32_t buf, uint32_t col, uint32_t val, uint64_t row) {
+    uint32_t* b;
+    uint64_t idx;
+    switch (buf) {
+      case 0: b = ctx_.data; idx = (uint64_t)col * ctx_.rows + row; break;
+      case 1: b = ctx_.global; idx = col; break;
+      case 2: b = ctx_.accum; idx = (uint64_t)col * ctx_.rows + row; break;
+      default: throw std::runtime_error("witgen: store to mix");
+    }
+    uint32_t cur = b[idx];
+    if (cur != INVALID && cur != val)
+      throw std::runtime_error("witgen: inconsistent set col " +
+                               std::to_string(col) + " row " +
+                               std::to_string(row) + " cur " +
+                               std::to_string(cur) + " new " +
+                               std::to_string(val));
+    b[idx] = val;
+  }
+
+  void run_row(uint64_t row) {
+    uint32_t* s = slots_.data();
+    const uint32_t* cyc = ctx_.cycles + row * 11;
+    uint32_t txn_cursor = cyc[6];
+    uint64_t pc = 0;
+    while (pc < n_ops_) {
+      const uint32_t* o = ops_ + pc * 5;
+      uint32_t op = o[0], dst = o[1], a = o[2], b = o[3], c = o[4];
+      switch (op) {
+        case CONST: s[dst] = a; break;
+        case ADD: s[dst] = fp_add(s[a], s[b]); break;
+        case SUB: s[dst] = fp_sub(s[a], s[b]); break;
+        case MUL: s[dst] = fp_mul(s[a], s[b]); break;
+        case NEG: s[dst] = s[a] == 0 ? 0 : P - s[a]; break;
+        case ISZ: s[dst] = s[a] == 0; break;
+        case INV: s[dst] = fp_inv(s[a]); break;
+        case BITAND: s[dst] = s[a] & s[b]; break;
+        case MOD: s[dst] = s[b] ? s[a] % s[b] : 0; break;
+        case INRANGE: s[dst] = (s[a] <= s[b] && s[b] < s[c]); break;
+        case LOAD: s[dst] = buf_load(c, a, b, row); break;
+        case STORE: buf_store(c, a, s[b], row); break;
+        case ELOAD:
+          for (int i = 0; i < 4; i++)
+            s[dst + i] = buf_load(c, a + i, b, row);
+          break;
+        case ESTORE:
+          for (int i = 0; i < 4; i++)
+            buf_store(c, a + i, s[b + i], row);
+          break;
+        case EADD:
+          for (int i = 0; i < 4; i++) s[dst + i] = fp_add(s[a + i], s[b + i]);
+          break;
+        case ESUB:
+          for (int i = 0; i < 4; i++) s[dst + i] = fp_sub(s[a + i], s[b + i]);
+          break;
+        case EMUL: ext_mul(s + a, s + b, s + dst); break;
+        case EINV: ext_inv(s + a, s + dst); break;
+        case EMULS:
+          for (int i = 0; i < 4; i++) s[dst + i] = fp_mul(s[a + i], s[b]);
+          break;
+        case EFROMVAL:
+          s[dst] = s[a];
+          s[dst + 1] = s[dst + 2] = s[dst + 3] = 0;
+          break;
+        case ECONST:
+          for (int i = 0; i < 4; i++) s[dst + i] = ext_[a * 4 + i];
+          break;
+        case EEQZ:
+          for (int i = 0; i < 4; i++)
+            if (s[a + i])
+              throw std::runtime_error("witgen: eqz(ext) failed, loc " +
+                                       std::to_string(b) + " row " +
+                                       std::to_string(row));
+          break;
+        case MOV: s[dst] = s[a]; break;
+        case EMOV:
+          for (int i = 0; i < 4; i++) s[dst + i] = s[a + i];
+          break;
+        case EQZ:
+          if (s[a])
+            throw std::runtime_error("witgen: eqz failed, loc " +
+                                     std::to_string(b) + " row " +
+                                     std::to_string(row) + " val " +
+                                     std::to_string(s[a]));
+          break;
+        case JZ:
+          if (s[a] == 0) { pc = b; continue; }
+          break;
+        case JMP: pc = b; continue;
+        case UNREACHABLE:
+          throw std::runtime_error("witgen: unreachable mux arm, row " +
+                                   std::to_string(row));
+        case X_GET_MAJOR_MINOR:
+          s[dst] = cyc[2];
+          s[dst + 1] = cyc[3];
+          break;
+        case X_GET_MEM_TXN: {
+          // reference ffi.cpp:62 extern_getMemoryTxn (cursor advances)
+          uint32_t addr = s[a];
+          if (txn_cursor >= ctx_.num_txns)
+            throw std::runtime_error("witgen: txn cursor overflow row " +
+                                     std::to_string(row));
+          const uint32_t* t = ctx_.txns + (uint64_t)txn_cursor * 5;
+          txn_cursor++;
+          if (t[1] / 2 != row)
+            throw std::runtime_error("witgen: txn cycle mismatch row " +
+                                     std::to_string(row) + " txn cycle " +
+                                     std::to_string(t[1]));
+          if (t[0] != addr)
+            throw std::runtime_error(
+                "witgen: txn addr mismatch row " + std::to_string(row) +
+                " expected " + std::to_string(t[0]) + " got " +
+                std::to_string(addr));
+          s[dst] = t[3];                 // prevCycle
+          s[dst + 1] = t[4] & 0xffff;    // prevWord low
+          s[dst + 2] = t[4] >> 16;
+          s[dst + 3] = t[2] & 0xffff;    // word low
+          s[dst + 4] = t[2] >> 16;
+          break;
+        }
+        case X_LOOKUP_DELTA: {
+          uint32_t table = s[a], index = s[b];
+          if (table == 0) break;  // cycle table ignored (ffi tables.h:22)
+          if (table != 8 && table != 16)
+            throw std::runtime_error("witgen: invalid lookup table");
+          if (index >= (1u << table))
+            throw std::runtime_error("witgen: lookup index out of range: "
+                                     "table " + std::to_string(table) +
+                                     " index " + std::to_string(index) +
+                                     " row " + std::to_string(row));
+          if (table == 8) ctx_.tab8[index]++; else ctx_.tab16[index]++;
+          break;
+        }
+        case X_LOOKUP_CURRENT: {
+          uint32_t table = s[a], index = s[b];
+          s[dst] = table == 8 ? ctx_.tab8[index].load()
+                              : ctx_.tab16[index].load();
+          break;
+        }
+        case X_MEMORY_DELTA: break;
+        case X_GET_DIFF_COUNT: {
+          uint32_t cu = s[a];
+          s[dst] = ctx_.cycles[(uint64_t)(cu / 2) * 11 + 9 + cu % 2];
+          break;
+        }
+        case X_IS_FIRST_CYCLE: s[dst] = row == 0; break;
+        case X_DIVIDE: {
+          uint32_t numer = s[a] | (s[b & 0xffff] << 16);
+          uint32_t denom = s[b >> 16] | (s[c & 0xffff] << 16);
+          uint32_t quot, rem;
+          divide_rv32im(numer, denom, s[c >> 16], quot, rem);
+          s[dst] = quot & 0xffff;
+          s[dst + 1] = quot >> 16;
+          s[dst + 2] = rem & 0xffff;
+          s[dst + 3] = rem >> 16;
+          break;
+        }
+        case X_HOST_READ_PREPARE: {
+          // reference ffi.cpp:201 (does not advance the cursor)
+          const uint32_t* t = ctx_.txns + (uint64_t)txn_cursor * 5;
+          s[dst] = t[2];
+          break;
+        }
+        case X_HOST_WRITE: {
+          const uint32_t* t = ctx_.txns + (uint64_t)txn_cursor * 5;
+          s[dst] = t[2];
+          break;
+        }
+        case X_NEXT_PAGING_IDX:
+          s[dst] = cyc[7];
+          s[dst + 1] = cyc[4];
+          break;
+        case X_BIGINT_EXTERN: {
+          uint32_t bi = cyc[8];
+          for (int i = 0; i < 16; i++)
+            s[dst + i] = ctx_.bigint_bytes[bi + i];
+          break;
+        }
+        case NOP: break;
+        default:
+          throw std::runtime_error("witgen: bad opcode " + std::to_string(op));
+      }
+      pc++;
+    }
+  }
+
+ private:
+  const uint32_t* ops_;
+  uint64_t n_ops_;
+  const uint32_t* ext_;
+  WitgenCtx& ctx_;
+  std::vector<uint32_t> slots_;
+};
+
+static void run_range(const uint32_t* ops, uint64_t n_ops, uint32_t n_slots,
+                      const uint32_t* ext, WitgenCtx& ctx, uint64_t lo,
+                      uint64_t hi, std::string* err) {
+  try {
+    Interp interp(ops, n_ops, n_slots, ext, ctx);
+    for (uint64_t r = lo; r < hi; r++) interp.run_row(r);
+  } catch (const std::exception& e) {
+    *err = e.what();
+  }
+}
+
+static void run_phase(const uint32_t* ops, uint64_t n_ops, uint32_t n_slots,
+                      const uint32_t* ext, WitgenCtx& ctx, uint64_t lo,
+                      uint64_t hi, unsigned n_threads) {
+  if (hi <= lo) return;
+  uint64_t total = hi - lo;
+  unsigned nt = n_threads ? n_threads : 1;
+  if (total < 256) nt = 1;
+  std::vector<std::thread> threads;
+  std::vector<std::string> errs(nt);
+  uint64_t chunk = (total + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; t++) {
+    uint64_t a = lo + t * chunk;
+    uint64_t b = std::min(hi, a + chunk);
+    if (a >= b) break;
+    threads.emplace_back(run_range, ops, n_ops, n_slots, ext, std::ref(ctx),
+                         a, b, &errs[t]);
+  }
+  for (auto& th : threads) th.join();
+  for (auto& e : errs)
+    if (!e.empty()) throw std::runtime_error(e);
+}
+
+}  // namespace r0wg
+
+extern "C" {
+
+extern thread_local std::string g_witgen_error_storage;
+thread_local std::string g_witgen_error_storage;
+
+const char* r0_witgen_error() { return g_witgen_error_storage.c_str(); }
+
+// Run the exec program over all rows (two phases split at table_split),
+// then optionally the accum program over all rows.
+// program blobs: ops = n_ops x 5 u32, extconsts = n_ext x 4 u32.
+int r0_witgen_run(
+    const uint32_t* ops, uint64_t n_ops, uint32_t n_slots,
+    const uint32_t* extconsts,
+    const uint32_t* cycles, uint64_t num_cycles,
+    const uint32_t* txns, uint64_t num_txns,
+    const uint32_t* bigint_bytes, uint64_t num_bigint_bytes,
+    uint32_t* data, uint32_t* global_buf, uint32_t* accum,
+    const uint32_t* mix, uint32_t user_accum_split,
+    uint32_t table_split, uint32_t* table_u8_out, uint32_t* table_u16_out,
+    uint32_t n_threads) {
+  try {
+    r0wg::WitgenCtx ctx;
+    ctx.cycles = cycles;
+    ctx.num_cycles = num_cycles;
+    ctx.txns = txns;
+    ctx.num_txns = num_txns;
+    ctx.bigint_bytes = bigint_bytes;
+    ctx.num_bigint_bytes = num_bigint_bytes;
+    ctx.data = data;
+    ctx.global = global_buf;
+    ctx.accum = accum;
+    ctx.mix = mix;
+    ctx.rows = num_cycles;
+    ctx.user_accum_split = user_accum_split;
+    unsigned nt = n_threads ? n_threads
+                            : std::thread::hardware_concurrency();
+    if (accum == nullptr) {
+      // exec: two phases as in reference ffi.cpp kStepModeParallel
+      r0wg::run_phase(ops, n_ops, n_slots, extconsts, ctx, 0, table_split,
+                      nt);
+      r0wg::run_phase(ops, n_ops, n_slots, extconsts, ctx, table_split,
+                      num_cycles, nt);
+      if (table_u8_out)
+        for (int i = 0; i < 256; i++) table_u8_out[i] = ctx.tab8[i].load();
+      if (table_u16_out)
+        for (int i = 0; i < 65536; i++)
+          table_u16_out[i] = ctx.tab16[i].load();
+    } else {
+      // accum: single parallel phase (reference ffi.cpp phase1)
+      r0wg::run_phase(ops, n_ops, n_slots, extconsts, ctx, 0, num_cycles, nt);
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    g_witgen_error_storage = e.what();
+    return 1;
+  }
+}
+
+}  // extern "C"

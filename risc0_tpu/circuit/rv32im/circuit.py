@@ -169,13 +169,18 @@ class Rv32imCircuit:
 
 
     # -- prover-side batch evaluation over the 4x domain (numpy oracle) ------
-    def eval_check_np(self, groups, globals_list, poly_mix, po2):
+    def eval_check_np(self, groups, globals_list, poly_mix, po2,
+                      stride=4, divide=True):
         """Host batch eval_check: same semantics as eval_check, vectorized
-        with numpy over the domain.  Conformance oracle + small-domain use."""
+        with numpy over the domain.  Conformance oracle + small-domain use.
+
+        With stride=1, divide=False this evaluates the raw constraint
+        polynomial on the trace domain itself (taps roll by `back` rows, no
+        zeros-poly division): a valid witness yields all-zero output."""
         mix_g, out_g = globals_list
         accum, code, data = (np.asarray(g, np.uint32) for g in groups)
         cycles = 1 << po2
-        domain = cycles * 4
+        domain = cycles * stride
 
         pm = np.asarray(poly_mix, np.uint32)
         ks = self.operands[self.opcode == EMADD][:, 2]
@@ -186,14 +191,15 @@ class Rv32imCircuit:
             pm_pows[k] = cur
             cur = F.ext_mul_np(cur, pm)
 
-        w = F.s_encode(F.ROU_FWD[po2 + 2])
-        kpow = F.s_pow(F.s_encode(3), cycles)
-        wq = F.s_pow(w, cycles)
-        ys, cw = [], F.R % F.P
-        for _ in range(4):
-            ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
-            cw = F.s_mul(cw, wq)
-        inv_zeros = np.tile(np.array(ys, np.uint32), domain // 4)
+        if divide:
+            w = F.s_encode(F.ROU_FWD[po2 + 2])
+            kpow = F.s_pow(F.s_encode(3), cycles)
+            wq = F.s_pow(w, cycles)
+            ys, cw = [], F.R % F.P
+            for _ in range(4):
+                ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
+                cw = F.s_mul(cw, wq)
+            inv_zeros = np.tile(np.array(ys, np.uint32), domain // 4)
 
         bufs = {BUF_ACCUM: accum, BUF_DATA: data}
         fregs = np.zeros((self.n_f, domain), np.uint32)
@@ -207,7 +213,7 @@ class Rv32imCircuit:
             if op == FCONST:
                 fregs[a] = F.s_encode(b)
             elif op == FTAP:
-                fregs[a] = np.roll(bufs[b][c], 4 * d)
+                fregs[a] = np.roll(bufs[b][c], stride * d)
             elif op == FGLOBAL:
                 src = out_g if b == BUF_GLOBAL else mix_g
                 fregs[a] = int(src[c])
@@ -259,6 +265,8 @@ class Rv32imCircuit:
             else:
                 raise ValueError(f"bad opcode {op}")
         tot = eregs[self.ret[1]]
+        if not divide:
+            return tot.T  # (4, domain) raw constraint values
         return fm(tot, inv_zeros[:, None]).T  # (4, domain)
 
     # -- prover-side vectorized evaluation over the 4x domain ----------------
@@ -290,14 +298,15 @@ class Rv32imCircuit:
             cur = F.ext_mul_np(cur, pm)
 
         # zeros polynomial (3x)^cycles - 1, period 4 over the domain
-        w = F.s_encode(F.ROU_FWD[po2 + 2])
-        kpow = F.s_pow(F.s_encode(3), cycles)
-        wq = F.s_pow(w, cycles)
-        ys, cw = [], F.R % F.P
-        for _ in range(4):
-            ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
-            cw = F.s_mul(cw, wq)
-        inv_zeros = np.tile(np.array(ys, np.uint32), domain // 4)
+        if divide:
+            w = F.s_encode(F.ROU_FWD[po2 + 2])
+            kpow = F.s_pow(F.s_encode(3), cycles)
+            wq = F.s_pow(w, cycles)
+            ys, cw = [], F.R % F.P
+            for _ in range(4):
+                ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
+                cw = F.s_mul(cw, wq)
+            inv_zeros = np.tile(np.array(ys, np.uint32), domain // 4)
 
         return _eval_check_traced(
             self, accum, data, jnp.asarray(pm_pows),
