@@ -298,15 +298,14 @@ class Rv32imCircuit:
             cur = F.ext_mul_np(cur, pm)
 
         # zeros polynomial (3x)^cycles - 1, period 4 over the domain
-        if divide:
-            w = F.s_encode(F.ROU_FWD[po2 + 2])
-            kpow = F.s_pow(F.s_encode(3), cycles)
-            wq = F.s_pow(w, cycles)
-            ys, cw = [], F.R % F.P
-            for _ in range(4):
-                ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
-                cw = F.s_mul(cw, wq)
-            inv_zeros = np.tile(np.array(ys, np.uint32), domain // 4)
+        w = F.s_encode(F.ROU_FWD[po2 + 2])
+        kpow = F.s_pow(F.s_encode(3), cycles)
+        wq = F.s_pow(w, cycles)
+        ys, cw = [], F.R % F.P
+        for _ in range(4):
+            ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
+            cw = F.s_mul(cw, wq)
+        inv_zeros = np.tile(np.array(ys, np.uint32), domain // 4)
 
         return _eval_check_traced(
             self, accum, data, jnp.asarray(pm_pows),

@@ -1,0 +1,130 @@
+"""rv32im segment proving: witgen -> generic STARK prover -> seal.
+
+Mirrors the reference seal flow (risc0/circuit/rv32im/src/prove/hal/mod.rs
+:143-224 prove_core): seal version word, proof-system + circuit info
+commits, globals||po2 header, code/data group commits, Fiat-Shamir mix,
+accum commit, then the generic DEEP-ALI/FRI finalize.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ... import field as F
+from ...hash.suite import POSEIDON2
+from ...prove.prover import Prover
+from ...taps import (REGISTER_GROUP_ACCUM, REGISTER_GROUP_CODE,
+                     REGISTER_GROUP_DATA)
+from ...verify import verifier as V
+from .circuit import load_circuit
+from .verify import RV32IM_SEAL_VERSION
+from .witgen import (REGCOUNT_MIX, witgen_accum, witgen_exec)
+
+
+class Rv32imCircuitHal:
+    def __init__(self, circuit):
+        self.circuit = circuit
+
+    def eval_check(self, groups, globals_list, poly_mix, po2):
+        return self.circuit.eval_check(groups, globals_list, poly_mix, po2)
+
+
+def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
+    """Prove one executed segment; returns the seal (uint32 words)."""
+    import jax.numpy as jnp
+
+    suite = suite or POSEIDON2
+    circuit = load_circuit()
+    rng = rng or np.random.default_rng()
+    if rand_z is None:
+        rand_z = tuple(int(x) for x in rng.integers(0, F.P, 4))
+
+    res = witgen_exec(seg, rand_z=rand_z)
+    po2 = int(np.log2(res["rows"]))
+    assert (1 << po2) == res["rows"]
+    cycles = res["rows"]
+
+    data_m = F.encode_np(res["data"])
+    global_m = F.encode_np(res["global"])
+    code_m = np.zeros((1, cycles), np.uint32)  # zeroized code group
+
+    prover = Prover(suite, circuit.taps)
+    iop = prover.iop
+    iop.write_u32s([RV32IM_SEAL_VERSION])
+
+    info = np.frombuffer(V.PROOF_SYSTEM_INFO.ljust(16, b"\0")[:16], np.uint8)
+    iop.commit(suite.hash_elem_slice(F.encode_np(info.astype(np.uint32))))
+    info = np.frombuffer(circuit.CIRCUIT_INFO.ljust(16, b"\0")[:16], np.uint8)
+    iop.commit(suite.hash_elem_slice(F.encode_np(info.astype(np.uint32))))
+
+    header = np.concatenate([global_m, np.array([po2], np.uint32)])
+    iop.commit(suite.hash_elem_slice(header))
+    iop.write_field_elems(header)
+    prover.set_po2(po2)
+
+    prover.commit_group(REGISTER_GROUP_CODE, jnp.asarray(code_m))
+    prover.commit_group(REGISTER_GROUP_DATA, jnp.asarray(data_m))
+
+    mix_m = np.array([iop.random_elem() for _ in range(REGCOUNT_MIX)],
+                     np.uint32)
+    accum = witgen_accum(res, F.decode_np(mix_m))
+    prover.commit_group(REGISTER_GROUP_ACCUM,
+                        jnp.asarray(F.encode_np(accum)))
+
+    if use_jit:
+        hal_obj = Rv32imCircuitHal(circuit)
+    else:
+        hal_obj = _NpCircuitHal(circuit)
+    return prover.finalize([mix_m, global_m], hal_obj)
+
+
+class _NpCircuitHal:
+    """Level-scheduled plan evaluator, chunked over the domain
+    (risc0_tpu/circuit/ir_exec.py; conformance-tested vs poly_ext)."""
+
+    _plan = None
+
+    def __init__(self, circuit):
+        self.circuit = circuit
+        if _NpCircuitHal._plan is None:
+            from .. import ir_exec
+            _NpCircuitHal._plan = ir_exec.build_plan(circuit)
+
+    def eval_check(self, groups, globals_list, poly_mix, po2):
+        from .. import ir_exec
+        plan = _NpCircuitHal._plan
+        mix_g, out_g = (np.asarray(g, np.uint32) for g in globals_list)
+        accum, _code, data = (np.asarray(g) for g in groups)
+        cycles = 1 << po2
+        domain = cycles * 4
+
+        c = self.circuit
+        ks = c.operands[c.opcode == 8][:, 2]
+        pm = np.asarray(poly_mix, np.uint32)
+        pm_pows = np.zeros((int(ks.max()) + 1, 4), np.uint32)
+        cur = np.zeros(4, np.uint32)
+        cur[0] = F.R % F.P
+        for k in range(pm_pows.shape[0]):
+            pm_pows[k] = cur
+            cur = F.ext_mul_np(cur, pm)
+
+        gvals = np.array([(out_g if b == 2 else mix_g)[i]
+                          for b, i in plan.global_specs], np.uint32)
+        bufs = {0: accum, 1: data}
+        chunk = 1 << 14
+        tot = np.zeros((domain, 4), np.uint32)
+        for start in range(0, domain, chunk):
+            T = min(chunk, domain - start)
+            tapm = ir_exec.build_tap_matrix_np(plan, bufs, start, T, domain)
+            tot[start:start + T] = ir_exec.execute_plan_np(
+                plan, tapm, gvals, pm_pows)
+
+        w = F.s_encode(F.ROU_FWD[po2 + 2])
+        kpow = F.s_pow(F.s_encode(3), cycles)
+        wq = F.s_pow(w, cycles)
+        ys, cw = [], F.R % F.P
+        for _ in range(4):
+            ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
+            cw = F.s_mul(cw, wq)
+        invz = np.tile(np.array(ys, np.uint32), domain // 4)
+        return F.mul_np(tot, invz[:, None]).T

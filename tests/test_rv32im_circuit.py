@@ -1,5 +1,7 @@
 """rv32im circuit data tests: extraction integrity + verifier wiring."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -151,3 +153,56 @@ def test_claim_decode_roundtrip():
     assert np.array_equal(claim.post.value.merkle_root, np.zeros(8, np.uint32))
     assert np.array_equal(claim.input.digest(), inp)
     assert np.array_equal(claim.output.digest(), out)
+
+
+def _loop_segment(po2=16, count=100):
+    from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
+
+    elf = open("/root/reference/risc0/zkvm/examples/loop.bin", "rb").read()
+    env = ExecutorEnv(segment_po2=po2).write_slice(
+        count.to_bytes(4, "little"))
+    return ExecutorImpl(env, elf).run().segments[0]
+
+
+def test_witgen_real_segment():
+    """witgen on a real executed segment: the ~300 generated EQZ assertions
+    and write-once consistency checks all run inside; accum permutation/
+    lookup totals must cancel to zero."""
+    from risc0_tpu.circuit.rv32im.witgen import witgen_accum, witgen_exec
+
+    seg = _loop_segment()
+    rng = np.random.default_rng(3)
+    rand_z = tuple(int(x) for x in rng.integers(0, F.P, 4))
+    res = witgen_exec(seg, rand_z=rand_z)
+    assert res["rows"] == 1 << 14
+    assert res["data"].shape == (211, res["rows"])
+    mix = rng.integers(0, F.P, 36).astype(np.uint32)
+    acc = witgen_accum(res, mix)
+    assert acc.shape == (103, res["rows"])
+    # grand totals of the running-sum columns cancel on a valid trace
+    assert (acc[-4:, -1] == 0).all()
+
+
+def test_witgen_rejects_corrupt_txn():
+    from risc0_tpu.circuit.rv32im.witgen import witgen_exec
+    from risc0_tpu.zkvm.exec import preflight_segment
+
+    seg = _loop_segment()
+    pf = preflight_segment(seg)
+    pf["txns"][4000, 2] ^= 1
+    with pytest.raises(RuntimeError):
+        witgen_exec(seg, pf=pf, n_threads=1)
+
+
+@pytest.mark.skipif(not os.environ.get("RISC0_TPU_SLOW_TESTS"),
+                    reason="~12min on CPU (numpy eval_check)")
+def test_prove_verify_real_segment():
+    """Full e2e: execute -> witgen -> STARK prove -> verify."""
+    from risc0_tpu.circuit.rv32im.prove import prove_segment
+    from risc0_tpu.circuit.rv32im.verify import verify_rv32im_seal
+
+    seg = _loop_segment()
+    seal = prove_segment(seg, use_jit=False,
+                         rng=np.random.default_rng(1))
+    out = verify_rv32im_seal(seal)
+    assert len(out) == 90
