@@ -95,7 +95,7 @@ enum Op : uint32_t {
   X_GET_MAJOR_MINOR, X_GET_MEM_TXN, X_LOOKUP_DELTA, X_LOOKUP_CURRENT,
   X_MEMORY_DELTA, X_GET_DIFF_COUNT, X_IS_FIRST_CYCLE, X_DIVIDE,
   X_HOST_READ_PREPARE, X_HOST_WRITE, X_NEXT_PAGING_IDX, X_BIGINT_EXTERN,
-  NOP,
+  NOP, GET_CYCLE, K_GET_PREIMAGE, K_NEXT_PREIMAGE,
 };
 
 struct WitgenCtx {
@@ -106,6 +106,11 @@ struct WitgenCtx {
   uint64_t num_txns;
   const uint32_t* bigint_bytes;
   uint64_t num_bigint_bytes;
+
+  // keccak circuit preflight (reference keccak-sys kernels/cxx/witgen.h:39)
+  const uint32_t* k_preimages = nullptr;  // (n, 100) 16-bit chunks
+  const uint32_t* k_cur = nullptr;        // per-row preimage index
+  uint32_t k_num = 0;
 
   // buffers, column-major [col * rows + row]
   uint32_t* data;
@@ -202,7 +207,8 @@ class Interp {
 
   void run_row(uint64_t row) {
     uint32_t* s = slots_.data();
-    const uint32_t* cyc = ctx_.cycles + row * 11;
+    static const uint32_t kNoCyc[11] = {0};
+    const uint32_t* cyc = ctx_.cycles ? ctx_.cycles + row * 11 : kNoCyc;
     uint32_t txn_cursor = cyc[6];
     uint64_t pc = 0;
     while (pc < n_ops_) {
@@ -359,6 +365,16 @@ class Interp {
           break;
         }
         case NOP: break;
+        case GET_CYCLE: s[dst] = (uint32_t)row; break;
+        case K_GET_PREIMAGE: {
+          // reference keccak ffi.cpp:62 (idx -> 16-bit chunk of state)
+          uint32_t pi = ctx_.k_cur[row];
+          s[dst] = ctx_.k_preimages[(uint64_t)pi * 100 + s[a]];
+          break;
+        }
+        case K_NEXT_PREIMAGE:
+          s[dst] = ctx_.k_cur[row] != ctx_.k_num;
+          break;
         default:
           throw std::runtime_error("witgen: bad opcode " + std::to_string(op));
       }
@@ -428,7 +444,8 @@ int r0_witgen_run(
     uint32_t* data, uint32_t* global_buf, uint32_t* accum,
     const uint32_t* mix, uint32_t user_accum_split,
     uint32_t table_split, uint32_t* table_u8_out, uint32_t* table_u16_out,
-    uint32_t n_threads) {
+    uint32_t n_threads,
+    const uint32_t* k_preimages, const uint32_t* k_cur, uint32_t k_num) {
   try {
     r0wg::WitgenCtx ctx;
     ctx.cycles = cycles;
@@ -443,6 +460,9 @@ int r0_witgen_run(
     ctx.mix = mix;
     ctx.rows = num_cycles;
     ctx.user_accum_split = user_accum_split;
+    ctx.k_preimages = k_preimages;
+    ctx.k_cur = k_cur;
+    ctx.k_num = k_num;
     unsigned nt = n_threads ? n_threads
                             : std::thread::hardware_concurrency();
     if (accum == nullptr) {

@@ -429,3 +429,35 @@ def build_tap_matrix_np(plan: Plan, bufs, start: int, T: int, domain: int):
         rows = (np.arange(start - 4 * back, start - 4 * back + T)) % domain
         out[i] = np.asarray(bufs[buf][col])[rows]
     return out
+
+
+def make_plan_runner(plan: Plan):
+    """Jitted device evaluator: tap gather + plan execution in one XLA
+    computation.  `start` is traced, so one compile covers every chunk of
+    the domain; T and domain are static."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    specs = np.array(plan.tap_specs, np.int64)  # (n, 3): buf, col, back
+    a_mask = specs[:, 0] == 0
+    a_pos = jnp.asarray(np.nonzero(a_mask)[0])
+    d_pos = jnp.asarray(np.nonzero(~a_mask)[0])
+    a_cols = jnp.asarray(specs[a_mask, 1])
+    a_backs = jnp.asarray(specs[a_mask, 2])
+    d_cols = jnp.asarray(specs[~a_mask, 1])
+    d_backs = jnp.asarray(specs[~a_mask, 2])
+    n_taps = len(specs)
+
+    @functools.partial(jax.jit, static_argnums=(5, 6))
+    def run(accum, data, gvals, pm_pows, start, T, domain):
+        ar = jnp.arange(T, dtype=jnp.int32)
+        tapm = jnp.zeros((n_taps, T), jnp.uint32)
+        ia = (start - 4 * a_backs[:, None] + ar[None, :]) % domain
+        tapm = tapm.at[a_pos].set(accum[a_cols[:, None], ia])
+        idx = (start - 4 * d_backs[:, None] + ar[None, :]) % domain
+        tapm = tapm.at[d_pos].set(data[d_cols[:, None], idx])
+        return execute_plan_jnp(plan, tapm, gvals, pm_pows)
+
+    return run

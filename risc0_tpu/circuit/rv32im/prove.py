@@ -22,11 +22,61 @@ from .witgen import (REGCOUNT_MIX, witgen_accum, witgen_exec)
 
 
 class Rv32imCircuitHal:
-    def __init__(self, circuit):
+    """Device eval_check: jitted level-scheduled plan runner (one compile
+    serves every chunk; start index is traced)."""
+
+    _runner = None
+    _plan = None
+
+    def __init__(self, circuit, chunk=1 << 13):
         self.circuit = circuit
+        self.chunk = chunk
+        if Rv32imCircuitHal._plan is None:
+            from .. import ir_exec
+            Rv32imCircuitHal._plan = ir_exec.build_plan(circuit)
+            Rv32imCircuitHal._runner = ir_exec.make_plan_runner(
+                Rv32imCircuitHal._plan)
 
     def eval_check(self, groups, globals_list, poly_mix, po2):
-        return self.circuit.eval_check(groups, globals_list, poly_mix, po2)
+        import jax.numpy as jnp
+
+        plan, runner = Rv32imCircuitHal._plan, Rv32imCircuitHal._runner
+        mix_g, out_g = (np.asarray(g, np.uint32) for g in globals_list)
+        accum, _code, data = groups
+        cycles = 1 << po2
+        domain = cycles * 4
+
+        c = self.circuit
+        ks = c.operands[c.opcode == 8][:, 2]
+        pm = np.asarray(poly_mix, np.uint32)
+        pm_pows = np.zeros((int(ks.max()) + 1, 4), np.uint32)
+        cur = np.zeros(4, np.uint32)
+        cur[0] = F.R % F.P
+        for k in range(pm_pows.shape[0]):
+            pm_pows[k] = cur
+            cur = F.ext_mul_np(cur, pm)
+        gvals = jnp.asarray(np.array(
+            [(out_g if b == 2 else mix_g)[i] for b, i in plan.global_specs],
+            np.uint32))
+        accum = jnp.asarray(accum)
+        data = jnp.asarray(data)
+        pm_pows = jnp.asarray(pm_pows)
+
+        T = min(self.chunk, domain)
+        tot = np.zeros((domain, 4), np.uint32)
+        for start in range(0, domain, T):
+            tot[start:start + T] = np.asarray(
+                runner(accum, data, gvals, pm_pows, start, T, domain))
+
+        w = F.s_encode(F.ROU_FWD[po2 + 2])
+        kpow = F.s_pow(F.s_encode(3), cycles)
+        wq = F.s_pow(w, cycles)
+        ys, cw = [], F.R % F.P
+        for _ in range(4):
+            ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
+            cw = F.s_mul(cw, wq)
+        invz = np.tile(np.array(ys, np.uint32), domain // 4)
+        return F.mul_np(tot, invz[:, None]).T
 
 
 def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):

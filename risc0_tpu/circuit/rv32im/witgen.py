@@ -246,7 +246,8 @@ def witgen_exec(seg, rand_z=(1, 0, 0, 0), pf=None, n_threads=0):
         _u32p(cycles), rows, _u32p(txns), len(txns),
         _u32p(bigint), len(bigint),
         _u32p(data), _u32p(glob), None, None,
-        0, pf["table_split_cycle"], _u32p(tab8), _u32p(tab16), n_threads)
+        0, pf["table_split_cycle"], _u32p(tab8), _u32p(tab16), n_threads,
+        None, None, 0)
     if rc != 0:
         raise RuntimeError(_resolve_loc(lib.r0_witgen_error().decode(),
                                         meta["exec_locs"]))
@@ -279,7 +280,8 @@ def witgen_accum(res, mix, n_threads=0):
         _u32p(cycles), rows, _u32p(txns), len(txns),
         _u32p(bigint), len(bigint),
         _u32p(res["data"]), _u32p(res["global"]), _u32p(accum), _u32p(mix),
-        split, pf["table_split_cycle"], None, None, n_threads)
+        split, pf["table_split_cycle"], None, None, n_threads,
+        None, None, 0)
     if rc != 0:
         raise RuntimeError(_resolve_loc(lib.r0_witgen_error().decode(),
                                         meta["accum_locs"]))

@@ -432,6 +432,7 @@ OPS = {name: i for i, name in enumerate([
     "X_LOOKUP_CURRENT", "X_MEMORY_DELTA", "X_GET_DIFF_COUNT",
     "X_IS_FIRST_CYCLE", "X_DIVIDE", "X_HOST_READ_PREPARE", "X_HOST_WRITE",
     "X_NEXT_PAGING_IDX", "X_BIGINT_EXTERN", "NOP",
+    "GET_CYCLE", "K_GET_PREIMAGE", "K_NEXT_PREIMAGE",
 ])}
 
 BUF_DATA, BUF_GLOBAL, BUF_ACCUM, BUF_MIX = 0, 1, 2, 3
@@ -748,6 +749,31 @@ class Evaluator:
             return None
         if name == "INVOKE_EXTERN":
             return self.eval_extern(args, env)
+        if name == "set":
+            buf = env[args[1][1]]
+            col = self.eval_expr(args[2], env)
+            v = self.as_val(self.eval_expr(args[3], env))
+            self.em.emit("STORE", 0, col, v.slot, buf)
+            return None
+        if name == "get":
+            buf = env[args[1][1]]
+            col = self.eval_expr(args[2], env)
+            back = self.eval_expr(args[3], env)
+            d = self.em.slot()
+            self.em.emit("LOAD", d, col, back, buf)
+            return Val(d)
+        if name == "setGlobal":
+            buf = env[args[1][1]]
+            col = self.eval_expr(args[2], env)
+            v = self.as_val(self.eval_expr(args[3], env))
+            self.em.emit("STORE", 0, col, v.slot, buf)
+            return None
+        if name == "getGlobal":
+            buf = env[args[1][1]]
+            col = self.eval_expr(args[2], env)
+            d = self.em.slot()
+            self.em.emit("LOAD", d, col, 0, buf)
+            return Val(d)
         if name == "map":
             return self.eval_map(args, env)
         if name == "reduce":
@@ -829,6 +855,23 @@ class Evaluator:
             d = em.slot(16)
             em.emit("X_BIGINT_EXTERN", d)
             return [Val(d + i) for i in range(16)]
+        if name == "getCycle":
+            d = em.slot()
+            em.emit("GET_CYCLE", d)
+            return Val(d)
+        if name == "isFirstCycle":
+            d = em.slot()
+            em.emit("X_IS_FIRST_CYCLE", d)
+            return Val(d)
+        if name == "getPreimage":
+            a = self.as_val(rest[0])
+            d = em.slot()
+            em.emit("K_GET_PREIMAGE", d, a.slot)
+            return Val(d)
+        if name == "nextPreimage":
+            d = em.slot()
+            em.emit("K_NEXT_PREIMAGE", d)
+            return Val(d)
         if name in ("log", "assert", "print"):
             return None
         raise NameError(f"unknown extern {name}")
@@ -1023,7 +1066,10 @@ def get_path(layout, path):
 
 
 def serialize(em, path):
-    assert em.n_slots < (1 << 16), "slot ids must fit 16-bit packing"
+    # 16-bit slot packing is only used by X_DIVIDE / X_HOST_WRITE operands
+    if em.n_slots >= (1 << 16):
+        packed = {OPS["X_DIVIDE"], OPS["X_HOST_WRITE"]}
+        assert not any(op[0] in packed for op in em.ops),             "slot ids must fit 16-bit packing for divide/hostWrite"
     with open(path, "wb") as f:
         f.write(struct.pack("<4sIIII", b"WGN1", len(em.ops), em.n_slots,
                             len(em.extconsts), 0))
@@ -1136,5 +1182,71 @@ def main():
     print("wrote", OUT_DIR)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Keccak circuit (risc0/circuit/keccak-sys/kernels/cxx/steps_*.cpp)
+# ---------------------------------------------------------------------------
+
+KECCAK_REF = "/root/reference/risc0/circuit/keccak-sys/kernels/cxx"
+KECCAK_OUT = os.path.join(os.path.dirname(__file__), "..",
+                          "risc0_tpu", "circuit", "keccak", "data")
+
+
+def main_keccak():
+    import glob as _glob
+    srcs = sorted(_glob.glob(os.path.join(KECCAK_REF, "steps_*.cpp")))
+    steps_src = "\n".join(open(p).read() for p in srcs)
+    with open(os.path.join(KECCAK_REF, "layout.cpp.inc")) as f:
+        layout_src = f.read()
+
+    print("parsing keccak layouts...")
+    layouts = parse_layouts(layout_src)
+    print(f"  {len(layouts)} layout constants")
+    print("parsing keccak functions...")
+    fns = parse_functions(steps_src)
+    print(f"  {len(fns)} functions")
+    assert "step_Top" in fns
+
+    print("extracting keccak exec program (step_Top)...")
+    em = extract_program(fns, layouts, "step_Top", [BUF_DATA, BUF_GLOBAL])
+    print(f"  {len(em.ops)} ops, {em.n_slots} slots, {len(em.locs)} locs")
+
+    os.makedirs(KECCAK_OUT, exist_ok=True)
+    serialize(em, os.path.join(KECCAK_OUT, "witgen_exec.bin"))
+
+    top = layouts["kLayout_Top"]
+    glob_l = layouts["kLayoutGlobal"]
+
+    def reg(x):
+        return x["_super"] if isinstance(x, dict) else x
+
+    meta = {
+        # scatter columns (reference keccak prove/preflight.rs:378-421)
+        "scatter": {
+            "control_state": reg(top["controlState"]["cycleType"]),
+            "cycle_mux": reg(top["cycleMux"]["_super"][0]),
+            "bits": reg(top["curState"]["bits"][0]),
+            "kflat": reg(top["curState"]["kflat"][0]),
+            "sflat": reg(top["curState"]["sflat"][0]),
+        },
+        "global": {
+            "total_cycles": reg(glob_l["totalCycles"]),
+            # 16 shorts: values[2i]=low, values[2i+1]=high (prove/mod.rs)
+            "final_digest": [reg(v)
+                             for v in glob_l["finalDigest"]["values"]],
+        },
+        "regcount": {"data": 1096, "accum": 1, "global": 17, "mix": 4,
+                     "code": 1},
+        "exec_locs": em.locs,
+    }
+    with open(os.path.join(KECCAK_OUT, "witgen_meta.json"), "w") as f:
+        json.dump(meta, f)
+    print("wrote", KECCAK_OUT)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "keccak":
+        main_keccak()
+    else:
+        main()
