@@ -14,6 +14,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <array>
 #include <memory>
 #include <cstring>
 #include <stdexcept>
@@ -480,6 +481,355 @@ int r0_witgen_run(
       // accum: single parallel phase (reference ffi.cpp phase1)
       r0wg::run_phase(ops, n_ops, n_slots, extconsts, ctx, 0, num_cycles, nt);
     }
+    return 0;
+  } catch (const std::exception& e) {
+    g_witgen_error_storage = e.what();
+    return 1;
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Recursion circuit witgen (reference recursion-sys/kernels/cxx/{ffi,extern,
+// context}.*): WOM argument recording + sorted permutation injection, iop
+// reads, and the plonk accumulator with grand-product prefix scan.
+// ---------------------------------------------------------------------------
+
+namespace r0wg {
+
+enum RecOp : uint32_t {
+  R_WOM_READ = NOP + 4,  // after GET_CYCLE..K_NEXT_PREIMAGE
+  R_IOP_BODY,
+  R_PLONK_READ_WOM,
+  R_PLONK_WRITE_WOM,
+  R_PLONK_READ_ACCUM,
+  R_PLONK_WRITE_ACCUM,
+  LOADZ,
+};
+
+constexpr uint32_t kMaxWomRowsPerCycle = 9;
+
+struct RecCtx {
+  const uint32_t* wom;      // (num_wom, 4)
+  uint32_t num_wom;
+  const uint32_t* iops;     // (num_iops, 4)
+  uint32_t num_iops;
+  const uint32_t* iop_idx;  // per work cycle
+  const uint32_t* par_safe; // per work cycle
+  uint32_t work;            // number of program rows
+  uint64_t steps;           // total rows (buffer stride)
+
+  uint32_t* ctrl;
+  uint32_t* global;
+  uint32_t* data;
+  const uint32_t* mix;
+  uint32_t* accum;
+
+  // wom argument state
+  std::vector<std::array<uint32_t, 5>> wom_rows;  // addr, v0..3
+  std::vector<uint32_t> wom_index;
+  // plonk accum state (FpExt per work row)
+  std::vector<std::array<uint32_t, 4>> accum_rows;
+};
+
+class RecInterp {
+ public:
+  RecInterp(const uint32_t* ops, uint64_t n_ops, uint32_t n_slots,
+            RecCtx& ctx)
+      : ops_(ops), n_ops_(n_ops), ctx_(ctx) {
+    slots_.resize(n_slots);
+  }
+
+  uint32_t* buf(uint32_t id) {
+    switch (id) {
+      case 0: return ctx_.data;
+      case 1: return ctx_.global;
+      case 2: return ctx_.accum;
+      case 4: return ctx_.ctrl;
+      default: return nullptr;  // 3 = mix (const)
+    }
+  }
+
+  uint32_t load(uint32_t bufid, uint32_t col, uint32_t back, uint64_t row,
+                bool zero_default) {
+    if (bufid == 3) return ctx_.mix[col];
+    if (bufid == 1) {
+      uint32_t v = ctx_.global[col];
+      if (v == INVALID) {
+        if (zero_default) return 0;
+        throw std::runtime_error("rec witgen: unset global read col " +
+                                 std::to_string(col));
+      }
+      return v;
+    }
+    uint64_t r = (ctx_.steps + row - back) % ctx_.steps;
+    uint32_t v = buf(bufid)[(uint64_t)col * ctx_.steps + r];
+    if (v == INVALID) {
+      if (zero_default) return 0;
+      throw std::runtime_error("rec witgen: unset read buf " +
+                               std::to_string(bufid) + " col " +
+                               std::to_string(col) + " back " +
+                               std::to_string(back) + " row " +
+                               std::to_string(row));
+    }
+    return v;
+  }
+
+  void store(uint32_t bufid, uint32_t col, uint32_t val, uint64_t row) {
+    uint32_t* b = buf(bufid);
+    uint64_t idx = bufid == 1 ? col : (uint64_t)col * ctx_.steps + row;
+    uint32_t cur = b[idx];
+    if (cur != INVALID && cur != val)
+      throw std::runtime_error("rec witgen: inconsistent set buf " +
+                               std::to_string(bufid) + " col " +
+                               std::to_string(col) + " row " +
+                               std::to_string(row) + " cur " +
+                               std::to_string(cur) + " new " +
+                               std::to_string(val));
+    b[idx] = val;
+  }
+
+  void run_row(uint64_t row) {
+    uint32_t* s = slots_.data();
+    uint32_t iop_cursor = ctx_.iop_idx ? ctx_.iop_idx[row] : 0;
+    uint32_t wom_cursor_r = ctx_.wom_index.empty() ? 0 : ctx_.wom_index[row];
+    uint64_t pc = 0;
+    while (pc < n_ops_) {
+      const uint32_t* o = ops_ + pc * 5;
+      uint32_t op = o[0], dst = o[1], a = o[2], b = o[3], c = o[4];
+      switch (op) {
+        case CONST: s[dst] = a; break;
+        case ADD: s[dst] = fp_add(s[a], s[b]); break;
+        case SUB: s[dst] = fp_sub(s[a], s[b]); break;
+        case MUL: s[dst] = fp_mul(s[a], s[b]); break;
+        case NEG: s[dst] = s[a] == 0 ? 0 : P - s[a]; break;
+        case ISZ: s[dst] = s[a] == 0; break;
+        case INV: s[dst] = fp_inv(s[a]); break;
+        case BITAND: s[dst] = s[a] & s[b]; break;
+        case LOAD: s[dst] = load(c, a, b, row, false); break;
+        case LOADZ: s[dst] = load(c, a, b, row, true); break;
+        case STORE: store(c, a, s[b], row); break;
+        case MOV: s[dst] = s[a]; break;
+        case EQZ:
+          if (s[a])
+            throw std::runtime_error("rec witgen: eqz failed, loc " +
+                                     std::to_string(b) + " row " +
+                                     std::to_string(row));
+          break;
+        case JZ:
+          if (s[a] == 0) { pc = b; continue; }
+          break;
+        case JMP: pc = b; continue;
+        case UNREACHABLE:
+          throw std::runtime_error("rec witgen: unreachable, row " +
+                                   std::to_string(row));
+        case R_WOM_READ: {
+          uint32_t addr = s[a];
+          if (addr >= ctx_.num_wom)
+            throw std::runtime_error("rec witgen: wom read out of range");
+          for (int i = 0; i < 4; i++)
+            s[dst + i] = ctx_.wom[(uint64_t)addr * 4 + i];
+          break;
+        }
+        case R_IOP_BODY: {
+          if (iop_cursor >= ctx_.num_iops)
+            throw std::runtime_error("rec witgen: iop cursor overflow");
+          for (int i = 0; i < 4; i++)
+            s[dst + i] = ctx_.iops[(uint64_t)iop_cursor * 4 + i];
+          iop_cursor++;
+          break;
+        }
+        case R_PLONK_WRITE_WOM: {
+          uint32_t idx = ctx_.wom_index[row]++;
+          if (idx >= kMaxWomRowsPerCycle)
+            throw std::runtime_error("rec witgen: wom rows overflow");
+          auto& wr = ctx_.wom_rows[row * kMaxWomRowsPerCycle + idx];
+          wr = {s[a], s[b & 0xffff], s[b >> 16], s[c & 0xffff],
+                s[c >> 16]};
+#ifdef REC_DEBUG_352
+          if (wr[0] == 352)
+            printf("plonkWrite(352) row=%llu val=%u %u %u %u\n",
+                   (unsigned long long)row, wr[1], wr[2], wr[3], wr[4]);
+#endif
+          break;
+        }
+        case R_PLONK_READ_WOM: {
+          const auto& wr = ctx_.wom_rows[wom_cursor_r++];
+          for (int i = 0; i < 5; i++) s[dst + i] = wr[i];
+          break;
+        }
+        case R_PLONK_WRITE_ACCUM:
+          ctx_.accum_rows[row] = {s[a & 0xffff], s[a >> 16], s[b & 0xffff],
+                                  s[b >> 16]};
+          break;
+        case R_PLONK_READ_ACCUM:
+          for (int i = 0; i < 4; i++) s[dst + i] = ctx_.accum_rows[row][i];
+          break;
+        case NOP: break;
+        default:
+          throw std::runtime_error("rec witgen: bad opcode " +
+                                   std::to_string(op));
+      }
+      pc++;
+    }
+  }
+
+ private:
+  const uint32_t* ops_;
+  uint64_t n_ops_;
+  RecCtx& ctx_;
+  std::vector<uint32_t> slots_;
+};
+
+// run rows [0, work) honoring par-safe chains: a chain starts at a par-safe
+// row and runs until the next par-safe row (reference ffi.cpp parStepExec)
+static void rec_run_chained(const uint32_t* ops, uint64_t n_ops,
+                            uint32_t n_slots, RecCtx& ctx,
+                            unsigned n_threads) {
+  std::vector<uint32_t> starts;
+  for (uint32_t c = 0; c < ctx.work; c++)
+    if (c == 0 || ctx.par_safe[c]) {
+      if (c == 0 || !ctx.par_safe[c - 1] || true) starts.push_back(c);
+    }
+  // dedupe consecutive starts is unnecessary: a chain is [start, next_start)
+  std::vector<std::string> errs(n_threads);
+  std::atomic<size_t> next{0};
+  auto worker = [&](unsigned t) {
+    try {
+      RecInterp interp(ops, n_ops, n_slots, ctx);
+      while (true) {
+        size_t i = next.fetch_add(1);
+        if (i >= starts.size()) break;
+        uint32_t lo = starts[i];
+        uint32_t hi = (i + 1 < starts.size()) ? starts[i + 1] : ctx.work;
+        for (uint32_t c = lo; c < hi; c++) interp.run_row(c);
+      }
+    } catch (const std::exception& e) {
+      errs[t] = e.what();
+    }
+  };
+  std::vector<std::thread> threads;
+  for (unsigned t = 0; t < n_threads; t++) threads.emplace_back(worker, t);
+  for (auto& th : threads) th.join();
+  for (auto& e : errs)
+    if (!e.empty()) throw std::runtime_error(e);
+}
+
+static void rec_run_flat(const uint32_t* ops, uint64_t n_ops,
+                         uint32_t n_slots, RecCtx& ctx, unsigned n_threads) {
+  std::vector<std::string> errs(n_threads);
+  std::atomic<uint32_t> next{0};
+  auto worker = [&](unsigned t) {
+    try {
+      RecInterp interp(ops, n_ops, n_slots, ctx);
+      while (true) {
+        uint32_t c = next.fetch_add(1);
+        if (c >= ctx.work) break;
+        interp.run_row(c);
+      }
+    } catch (const std::exception& e) {
+      errs[t] = e.what();
+    }
+  };
+  std::vector<std::thread> threads;
+  for (unsigned t = 0; t < n_threads; t++) threads.emplace_back(worker, t);
+  for (auto& th : threads) th.join();
+  for (auto& e : errs)
+    if (!e.empty()) throw std::runtime_error(e);
+}
+
+}  // namespace r0wg
+
+extern "C" {
+
+// Exec + WOM verify phases.  Buffers are column-major with stride `steps`.
+int r0_rec_witgen(
+    const uint32_t* exec_ops, uint64_t exec_n, uint32_t exec_slots,
+    const uint32_t* vmem_ops, uint64_t vmem_n, uint32_t vmem_slots,
+    const uint32_t* wom, uint32_t num_wom,
+    const uint32_t* iops, uint32_t num_iops,
+    const uint32_t* iop_idx, const uint32_t* par_safe, uint32_t work,
+    uint32_t* ctrl, uint32_t* global_buf, uint32_t* data, uint64_t steps,
+    uint32_t n_threads) {
+  using namespace r0wg;
+  try {
+    RecCtx ctx;
+    ctx.wom = wom; ctx.num_wom = num_wom;
+    ctx.iops = iops; ctx.num_iops = num_iops;
+    ctx.iop_idx = iop_idx; ctx.par_safe = par_safe;
+    ctx.work = work; ctx.steps = steps;
+    ctx.ctrl = ctrl; ctx.global = global_buf; ctx.data = data;
+    ctx.mix = nullptr; ctx.accum = nullptr;
+    ctx.wom_rows.assign((size_t)((uint64_t)work * kMaxWomRowsPerCycle),
+                        std::array<uint32_t, 5>{0xffffffffu, 0, 0, 0, 0});
+    ctx.wom_index.assign(work, 0);
+    unsigned nt = n_threads ? n_threads
+                            : std::thread::hardware_concurrency();
+
+    rec_run_chained(exec_ops, exec_n, exec_slots, ctx, nt);
+
+    // sort wom rows (invalid pattern sorts last), exclusive-scan counts
+    std::sort(ctx.wom_rows.begin(), ctx.wom_rows.end());
+    uint32_t total = 0;
+    for (uint32_t c = 0; c < work; c++) {
+      uint32_t n = ctx.wom_index[c];
+      ctx.wom_index[c] = total;
+      total += n;
+    }
+    // inject wom backs into data cols 0-4 at cycle-1 (ffi.cpp:136-158)
+    for (uint32_t c = 1; c < work; c++) {
+      uint32_t idx = ctx.wom_index[c];
+      for (int i = 0; i < 5; i++) {
+        uint32_t v = idx ? ctx.wom_rows[idx - 1][i] : 0;
+        data[(uint64_t)i * steps + (c - 1)] = v;
+      }
+    }
+
+    rec_run_flat(vmem_ops, vmem_n, vmem_slots, ctx, nt);
+    return 0;
+  } catch (const std::exception& e) {
+    g_witgen_error_storage = e.what();
+    return 1;
+  }
+}
+
+// Accum phases: compute per-row products, grand-product prefix scan,
+// verify/write accum columns (reference ffi.cpp:160-190).
+int r0_rec_accum(
+    const uint32_t* comp_ops, uint64_t comp_n, uint32_t comp_slots,
+    const uint32_t* ver_ops, uint64_t ver_n, uint32_t ver_slots,
+    const uint32_t* iop_idx, const uint32_t* par_safe, uint32_t work,
+    uint32_t* ctrl, uint32_t* global_buf, uint32_t* data,
+    const uint32_t* mix, uint32_t* accum, uint64_t steps,
+    uint32_t n_threads) {
+  using namespace r0wg;
+  try {
+    RecCtx ctx;
+    ctx.wom = nullptr; ctx.num_wom = 0;
+    ctx.iops = nullptr; ctx.num_iops = 0;
+    ctx.iop_idx = iop_idx; ctx.par_safe = par_safe;
+    ctx.work = work; ctx.steps = steps;
+    ctx.ctrl = ctrl; ctx.global = global_buf; ctx.data = data;
+    ctx.mix = mix; ctx.accum = accum;
+    ctx.accum_rows.assign((size_t)work, std::array<uint32_t, 4>{1, 0, 0, 0});
+    unsigned nt = n_threads ? n_threads
+                            : std::thread::hardware_concurrency();
+
+    rec_run_flat(comp_ops, comp_n, comp_slots, ctx, nt);
+
+    // grand-product inclusive scan over the work rows
+    uint32_t run[4] = {1, 0, 0, 0};
+    for (uint32_t c = 0; c < work; c++) {
+      uint32_t out[4];
+      ext_mul(run, ctx.accum_rows[c].data(), out);
+      for (int i = 0; i < 4; i++) {
+        run[i] = out[i];
+        ctx.accum_rows[c][i] = out[i];
+      }
+    }
+
+    rec_run_flat(ver_ops, ver_n, ver_slots, ctx, nt);
     return 0;
   } catch (const std::exception& e) {
     g_witgen_error_storage = e.what();

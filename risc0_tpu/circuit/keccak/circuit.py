@@ -28,7 +28,8 @@ def load_circuit() -> Rv32imCircuit:
     taps = _taps_to_tapset(tz)
     c = Rv32imCircuit(
         taps, ir["opcode"], ir["operands"], ir["n_f"], ir["n_e"],
-        ir["fscr_size"], ir["escr_size"], ir["ret"])
+        ir["fscr_size"], ir["escr_size"], ir["ret"],
+        ir["mix_powers"] if "mix_powers" in ir.files else None)
     c.CIRCUIT_INFO = CIRCUIT_INFO
     c.OUTPUT_SIZE = OUTPUT_SIZE
     c.MIX_SIZE = MIX_SIZE

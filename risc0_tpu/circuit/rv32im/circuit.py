@@ -54,7 +54,7 @@ def _taps_to_tapset(tz) -> TapSet:
 
 class Rv32imCircuit:
     def __init__(self, taps: TapSet, opcode, operands, n_f, n_e,
-                 fscr_size, escr_size, ret):
+                 fscr_size, escr_size, ret, mix_powers=None):
         self.taps = taps
         self.CIRCUIT_INFO = CIRCUIT_INFO
         self.OUTPUT_SIZE = OUTPUT_SIZE
@@ -66,6 +66,14 @@ class Rv32imCircuit:
         self.fscr_size = int(fscr_size)
         self.escr_size = int(escr_size)
         self.ret = ("e", int(ret))  # the final value is always an ext reg
+        # poly_mix[k] in the generated code means mix^POLY_MIX_POWERS[k]
+        # (reference <circuit>/src/.../info.rs); identity if absent
+        ks = operands[opcode == EMADD][:, 2]
+        max_k = int(ks.max())
+        if mix_powers is None:
+            mix_powers = np.arange(max_k + 1, dtype=np.uint32)
+        self.mix_powers = np.asarray(mix_powers, np.uint32)
+        assert len(self.mix_powers) > max_k
         # (group, offset, back) -> tap index in eval_u order
         self._tap_index = {}
         i = 0
@@ -73,6 +81,26 @@ class Rv32imCircuit:
             for b in reg.backs:
                 self._tap_index[(reg.group, reg.offset, b)] = i
                 i += 1
+
+    def mix_pows(self, poly_mix):
+        """(n, 4) table with entry k = poly_mix^POLY_MIX_POWERS[k]."""
+        pm = np.asarray(poly_mix, np.uint32)
+        out = np.zeros((len(self.mix_powers), 4), np.uint32)
+        # compute all needed powers via square-and-multiply per entry
+        cache = {0: F.encode_np(np.array([1, 0, 0, 0], np.uint32))}
+        def pw(e):
+            if e in cache:
+                return cache[e]
+            if e % 2 == 0:
+                h = pw(e // 2)
+                v = F.ext_mul_np(h, h)
+            else:
+                v = F.ext_mul_np(pw(e - 1), pm)
+            cache[e] = v
+            return v
+        for k, e in enumerate(self.mix_powers):
+            out[k] = pw(int(e))
+        return out
 
     # -- verifier-side scalar evaluation (replaces generated poly_ext.rs) ----
     def poly_ext(self, poly_mix, eval_u, out, mix):
@@ -87,16 +115,7 @@ class Rv32imCircuit:
         ea = F.add_np
         es = F.sub_np
 
-        # poly_mix powers are referenced by index k up to max seen
-        ks = self.operands[self.opcode == EMADD][:, 2]
-        max_k = int(ks.max())
-        pm = np.zeros((max_k + 1, 4), np.uint32)
-        cur = np.zeros(4, np.uint32)
-        cur[0] = F.R % F.P
-        pmix = np.asarray(poly_mix, np.uint32)
-        for k in range(max_k + 1):
-            pm[k] = cur
-            cur = em(cur, pmix)
+        pm = self.mix_pows(poly_mix)
 
         fregs = np.zeros((self.n_f, 4), np.uint32)
         eregs = np.zeros((self.n_e, 4), np.uint32)
@@ -182,14 +201,7 @@ class Rv32imCircuit:
         cycles = 1 << po2
         domain = cycles * stride
 
-        pm = np.asarray(poly_mix, np.uint32)
-        ks = self.operands[self.opcode == EMADD][:, 2]
-        pm_pows = np.zeros((int(ks.max()) + 1, 4), np.uint32)
-        cur = np.zeros(4, np.uint32)
-        cur[0] = F.R % F.P
-        for k in range(pm_pows.shape[0]):
-            pm_pows[k] = cur
-            cur = F.ext_mul_np(cur, pm)
+        pm_pows = self.mix_pows(poly_mix)
 
         if divide:
             w = F.s_encode(F.ROU_FWD[po2 + 2])
@@ -288,14 +300,7 @@ class Rv32imCircuit:
         cycles = 1 << po2
         domain = cycles * 4
 
-        pm = np.asarray(poly_mix, np.uint32)
-        ks = self.operands[self.opcode == EMADD][:, 2]
-        pm_pows = np.zeros((int(ks.max()) + 1, 4), np.uint32)
-        cur = np.zeros(4, np.uint32)
-        cur[0] = F.R % F.P
-        for k in range(pm_pows.shape[0]):
-            pm_pows[k] = cur
-            cur = F.ext_mul_np(cur, pm)
+        pm_pows = self.mix_pows(poly_mix)
 
         # zeros polynomial (3x)^cycles - 1, period 4 over the domain
         w = F.s_encode(F.ROU_FWD[po2 + 2])
@@ -420,4 +425,5 @@ def load_circuit() -> Rv32imCircuit:
     taps = _taps_to_tapset(tz)
     return Rv32imCircuit(
         taps, ir["opcode"], ir["operands"], ir["n_f"], ir["n_e"],
-        ir["fscr_size"], ir["escr_size"], ir["ret"])
+        ir["fscr_size"], ir["escr_size"], ir["ret"],
+        ir["mix_powers"] if "mix_powers" in ir.files else None)

@@ -46,15 +46,7 @@ class Rv32imCircuitHal:
         cycles = 1 << po2
         domain = cycles * 4
 
-        c = self.circuit
-        ks = c.operands[c.opcode == 8][:, 2]
-        pm = np.asarray(poly_mix, np.uint32)
-        pm_pows = np.zeros((int(ks.max()) + 1, 4), np.uint32)
-        cur = np.zeros(4, np.uint32)
-        cur[0] = F.R % F.P
-        for k in range(pm_pows.shape[0]):
-            pm_pows[k] = cur
-            cur = F.ext_mul_np(cur, pm)
+        pm_pows = self.circuit.mix_pows(poly_mix)
         gvals = jnp.asarray(np.array(
             [(out_g if b == 2 else mix_g)[i] for b, i in plan.global_specs],
             np.uint32))
@@ -148,15 +140,7 @@ class _NpCircuitHal:
         cycles = 1 << po2
         domain = cycles * 4
 
-        c = self.circuit
-        ks = c.operands[c.opcode == 8][:, 2]
-        pm = np.asarray(poly_mix, np.uint32)
-        pm_pows = np.zeros((int(ks.max()) + 1, 4), np.uint32)
-        cur = np.zeros(4, np.uint32)
-        cur[0] = F.R % F.P
-        for k in range(pm_pows.shape[0]):
-            pm_pows[k] = cur
-            cur = F.ext_mul_np(cur, pm)
+        pm_pows = self.circuit.mix_pows(poly_mix)
 
         gvals = np.array([(out_g if b == 2 else mix_g)[i]
                           for b, i in plan.global_specs], np.uint32)

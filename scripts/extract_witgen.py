@@ -33,7 +33,7 @@ TOKEN_RE = re.compile(r"""
   | (?P<num>0x[0-9a-fA-F]+|\d+)
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<str>"(?:[^"\\]|\\.)*")
-  | (?P<punct>::|&&|[{}()\[\].,;=+\-*<>&:])
+  | (?P<punct>::|&&|\|\||==|!=|[{}()\[\].,;=+\-*<>&:~!%|^/?])
 """, re.VERBOSE | re.DOTALL)
 
 

@@ -80,13 +80,7 @@ def test_witgen_constraints_vanish_small():
     plan = ir_exec.build_plan(c)
     gvals = np.array([(out_g if b == 2 else mix_g)[i]
                       for b, i in plan.global_specs], np.uint32)
-    ks = c.operands[c.opcode == 8][:, 2]
-    pm_pows = np.zeros((int(ks.max()) + 1, 4), np.uint32)
-    cur = np.zeros(4, np.uint32)
-    cur[0] = F.R % F.P
-    for k in range(pm_pows.shape[0]):
-        pm_pows[k] = cur
-        cur = F.ext_mul_np(cur, pm)
+    pm_pows = c.mix_pows(pm)
     # trace-domain check: override the 4x stride with direct row taps
     tapm = np.zeros((len(plan.tap_specs), 512), np.uint32)
     bufs = {0: accum_m, 1: data_m}

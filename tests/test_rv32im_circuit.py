@@ -96,13 +96,7 @@ def test_ir_plan_matches_reference_evaluator():
     pm = F.encode_np(rng.integers(0, F.P, 4, dtype=np.uint32))
     ref = c.eval_check_np([accum, code, data], [mix, out], pm, po2)
 
-    ks = c.operands[c.opcode == 8][:, 2]
-    pm_pows = np.zeros((int(ks.max()) + 1, 4), np.uint32)
-    cur = np.zeros(4, np.uint32)
-    cur[0] = F.R % F.P
-    for k in range(pm_pows.shape[0]):
-        pm_pows[k] = cur
-        cur = F.ext_mul_np(cur, pm)
+    pm_pows = c.mix_pows(pm)
     gvals = np.array([(out if b == 2 else mix)[i]
                       for b, i in plan.global_specs], np.uint32)
     tapm = ir_exec.build_tap_matrix_np(plan, {0: accum, 1: data}, 0, domain,
