@@ -655,6 +655,9 @@ class RecInterp {
           break;
         }
         case R_PLONK_READ_WOM: {
+          if (wom_cursor_r >= ctx_.wom_rows.size())
+            throw std::runtime_error("rec witgen: plonk read overflow row " +
+                                     std::to_string(row));
           const auto& wr = ctx_.wom_rows[wom_cursor_r++];
           for (int i = 0; i < 5; i++) s[dst + i] = wr[i];
           break;

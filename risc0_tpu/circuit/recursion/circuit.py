@@ -118,3 +118,23 @@ def verify_recursion_seal(seal, check_control_id=None) -> np.ndarray:
     circuit = load_circuit()
     return V.verify(circuit, POSEIDON2, np.asarray(seal, np.uint32),
                     check_control_id or (lambda po2, root: None))
+
+
+@lru_cache(maxsize=1)
+def load_prover_circuit():
+    """Prover-side circuit: taps + constraint-poly IR (from the generated
+    poly_fp.cpp, scripts/extract_recursion_poly.py) in the shared
+    Rv32imCircuit machinery — used for eval_check during proving."""
+    from ..rv32im.circuit import Rv32imCircuit, _taps_to_tapset
+
+    tz = np.load(os.path.join(_DATA, "taps.npz"))
+    ir = np.load(os.path.join(_DATA, "poly_fp_ir.npz"), allow_pickle=True)
+    taps = _taps_to_tapset(tz)
+    c = Rv32imCircuit(
+        taps, ir["opcode"], ir["operands"], ir["n_f"], ir["n_e"],
+        ir["fscr_size"], ir["escr_size"], ir["ret"],
+        ir["mix_powers"] if "mix_powers" in ir.files else None)
+    c.CIRCUIT_INFO = CIRCUIT_INFO
+    c.OUTPUT_SIZE = OUTPUT_SIZE
+    c.MIX_SIZE = MIX_SIZE
+    return c

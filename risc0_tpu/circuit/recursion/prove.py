@@ -24,7 +24,7 @@ from ...taps import (REGISTER_GROUP_ACCUM, REGISTER_GROUP_CODE,
                      REGISTER_GROUP_DATA)
 from ...verify import verifier as V
 from ...zkvm import native
-from .circuit import load_circuit
+from .circuit import load_prover_circuit
 from .preflight import RecursionPreflight
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
@@ -240,7 +240,7 @@ def prove_program(program: Program, input_words, suite=None, rng=None,
 
     suite = suite or POSEIDON2
     rng = rng or np.random.default_rng()
-    circuit = load_circuit()
+    circuit = load_prover_circuit()
 
     pf = RecursionPreflight(input_words)
     pf.run(program.code)

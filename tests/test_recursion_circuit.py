@@ -1,6 +1,8 @@
 """Recursion circuit data tests: extraction integrity, PolyExtStep
 interpreter, control-ID data."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -54,3 +56,76 @@ def test_garbage_recursion_seal_rejected():
     bad = rng.integers(0, F.P, size=30_000, dtype=np.uint32)
     with pytest.raises(VerificationError):
         verify_recursion_seal(bad)
+
+
+def test_keccak_lift_control_id_golden():
+    """The released keccak_lift_14 program's control ID (code-group merkle
+    root) must match the official KECCAK_CONTROL_IDS[po2=14] digest
+    (reference keccak/src/control_id.rs)."""
+    from risc0_tpu.circuit.recursion.prove import load_keccak_lift
+
+    prog = load_keccak_lift(14)
+    root = prog.control_id()
+    want = np.frombuffer(bytes.fromhex(
+        "92631f2b8dc9431cb2abdc1e82ac2e30deaf086a36e51e4aa60ad0516bf5b748"),
+        np.uint32)
+    assert np.array_equal(root, want)
+
+
+def test_recursion_preflight_micro_ops():
+    """Hand-built micro-op program: consts, add/mul, eq."""
+    from risc0_tpu.circuit.recursion.preflight import RecursionPreflight
+    from risc0_tpu.circuit.recursion.prove import RECURSION_CODE_SIZE
+
+    def micro_row(wa, ops):
+        row = [0] * RECURSION_CODE_SIZE
+        row[0] = wa
+        row[1] = 1  # select micro_ops
+        for i, (op, a, b, c) in enumerate(ops):
+            base = 8 + 4 * i
+            row[base:base + 4] = [op, a, b, c]
+        return row
+
+    rows = [
+        # consts 5 and 7 at wom[1], wom[2]; 0 at wom[3]
+        micro_row(1, [(0, 5, 0, 0), (0, 7, 0, 0), (0, 0, 0, 0)]),
+        # add -> wom[4], mul -> wom[5], sub -> wom[6]
+        micro_row(4, [(1, 1, 2, 0), (3, 1, 2, 0), (2, 2, 1, 0)]),
+        # eq checks: wom[4] vs const 12 (write first), nop consts
+        micro_row(7, [(0, 12, 0, 0), (0, 35, 0, 0), (0, 2, 0, 0)]),
+        micro_row(10, [(5, 4, 7, 0), (5, 5, 8, 0), (5, 6, 9, 0)]),
+    ]
+    pf = RecursionPreflight([])
+    # wom[0] must exist for the argument (programs init it)
+    pf.wom_write(0, (0, 0, 0, 0))
+    pf.run(rows)
+    assert pf.wom[4] == (12, 0, 0, 0)
+    assert pf.wom[5] == (35, 0, 0, 0)
+    assert pf.wom[6] == (2, 0, 0, 0)
+
+
+@pytest.mark.skipif(not os.environ.get("RISC0_TPU_SLOW_TESTS"),
+                    reason="runs the full released lift program (~5 min)")
+def test_official_keccak_lift_accepts_our_seal():
+    """The released keccak_lift_14.zkr (a complete in-circuit STARK
+    verifier) must execute against one of our keccak seals with zero
+    assertion failures."""
+    from risc0_tpu.circuit.keccak import prove_keccak
+    from risc0_tpu.circuit.keccak.verify import (keccak_digest_from_globals,
+                                                 verify_keccak_seal)
+    from risc0_tpu.circuit.recursion.preflight import RecursionPreflight
+    from risc0_tpu.circuit.recursion.prove import load_keccak_lift
+
+    rng = np.random.default_rng(2)
+    inputs = [[int(x) for x in rng.integers(0, 1 << 64, 25,
+                                            dtype=np.uint64)]]
+    seal = prove_keccak(inputs, 14)
+    out = verify_keccak_seal(seal)
+    claim = keccak_digest_from_globals(out, montgomery=True)
+    inp = [0] * 8 + [int(x) for x in seal]
+    for w in claim:
+        inp.extend([int(w) & 0xFFFF, int(w) >> 16])
+    inp.append(1 << 14)
+    prog = load_keccak_lift(14)
+    pf = RecursionPreflight(inp)
+    pf.run(prog.code)  # raises on any EQ failure
