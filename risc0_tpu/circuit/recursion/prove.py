@@ -101,8 +101,18 @@ def _progs():
         with open(os.path.join(_DATA_DIR, "rec_witgen_meta.json")) as f:
             _cache["meta"] = json.load(f)
         lib = native.lib()
+        U32P = C.POINTER(C.c_uint32)
         lib.r0_rec_witgen.restype = C.c_int
+        lib.r0_rec_witgen.argtypes = [
+            U32P, C.c_uint64, C.c_uint32, U32P, C.c_uint64, C.c_uint32,
+            U32P, C.c_uint32, U32P, C.c_uint32,
+            U32P, U32P, C.c_uint32,
+            U32P, U32P, U32P, C.c_uint64, C.c_uint32]
         lib.r0_rec_accum.restype = C.c_int
+        lib.r0_rec_accum.argtypes = [
+            U32P, C.c_uint64, C.c_uint32, U32P, C.c_uint64, C.c_uint32,
+            U32P, U32P, C.c_uint32,
+            U32P, U32P, U32P, U32P, U32P, C.c_uint64, C.c_uint32]
         lib.r0_witgen_error.restype = C.c_char_p
         _cache["lib"] = lib
     return _cache
