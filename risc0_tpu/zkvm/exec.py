@@ -35,6 +35,14 @@ SYS_PANIC = _NR + "SYS_PANIC"
 SYS_RANDOM = _NR + "SYS_RANDOM"
 SYS_READ = _NR + "SYS_READ"
 SYS_WRITE = _NR + "SYS_WRITE"
+SYS_PIPE = _NR + "SYS_PIPE"
+SYS_KECCAK = _NR + "SYS_KECCAK"
+SYS_VERIFY_INTEGRITY = _NR + "SYS_VERIFY_INTEGRITY"
+
+# sys_keccak modes (reference platform syscall.rs:79-80)
+KECCAK_PERMUTE, KECCAK_PROVE = 0, 1
+KECCAK_DEFAULT_PO2 = 17
+KECCAK_PERMUTE_CYCLES = 200
 
 V1COMPAT_ELF_PATH = os.environ.get(
     "RISC0_TPU_V1COMPAT",
@@ -54,6 +62,10 @@ class ExecutorEnv:
     input: bytes = b""
     env_vars: dict = field(default_factory=dict)
     args: list = field(default_factory=list)
+    # (claim_digest bytes, control_root bytes) -> opaque assumption for
+    # sys_verify_integrity (reference host/client/env.rs add_assumption)
+    assumptions: dict = field(default_factory=dict)
+    keccak_max_po2: int = KECCAK_DEFAULT_PO2
     segment_po2: int = 20
     session_limit: int | None = None
     write_fds: dict = field(default_factory=dict)  # fd -> file-like
@@ -99,6 +111,8 @@ class Session:
     post_state: np.ndarray
     input_digest: np.ndarray
     output_digest: np.ndarray | None
+    pending_keccaks: list = field(default_factory=list)
+    assumptions_used: list = field(default_factory=list)
 
 
 class _SyscallState:
@@ -118,6 +132,10 @@ class _SyscallState:
             **env.write_fds,
         }
         self.error: Exception | None = None
+        self.next_fd = 4
+        self.keccak_inputs = []
+        self.pending_keccaks = []   # ProveKeccakRequest dicts
+        self.assumptions_used = []
 
     # -- machine peeks -------------------------------------------------------
     def peek_string(self, machine, addr: int) -> str:
@@ -194,6 +212,47 @@ class _SyscallState:
             ln = self.user_reg(machine, REG_A4)
             msg = self.peek_region(machine, ptr, ln).decode(errors="replace")
             raise GuestPanic(msg)
+        if name == SYS_PIPE:
+            # allocate a connected fd pair (reference syscall/pipe.rs)
+            if len(to_guest) != 8:
+                raise RuntimeError("invalid sys_pipe call")
+            buf = _io.BytesIO()
+            read_fd, write_fd = self.next_fd, self.next_fd + 1
+            self.next_fd += 2
+
+            class _Pipe:
+                def __init__(self):
+                    self.data = bytearray()
+
+                def read(self, n):
+                    out = bytes(self.data[:n])
+                    del self.data[:n]
+                    return out
+
+                def write(self, b):
+                    self.data.extend(b)
+                    return len(b)
+
+            pipe = _Pipe()
+            self.readers[read_fd] = pipe
+            self.writers[write_fd] = pipe
+            to_guest[0:4] = read_fd.to_bytes(4, "little")
+            to_guest[4:8] = write_fd.to_bytes(4, "little")
+            return (0, 0)
+        if name == SYS_KECCAK:
+            return self._sys_keccak(machine, to_guest)
+        if name == SYS_VERIFY_INTEGRITY:
+            ptr = self.user_reg(machine, REG_A3)
+            ln = self.user_reg(machine, REG_A4)
+            data = self.peek_region(machine, ptr, ln)
+            claim, root = bytes(data[:32]), bytes(data[32:64])
+            key = (claim, root)
+            if key not in self.env.assumptions:
+                raise RuntimeError(
+                    "sys_verify_integrity: no receipt found to resolve "
+                    f"assumption: claim {claim.hex()}")
+            self.assumptions_used.insert(0, self.env.assumptions[key])
+            return (0, 0)
         if name == SYS_ARGC:
             return (len(self.env.args), 0)
         if name == SYS_ARGV:
@@ -206,6 +265,39 @@ class _SyscallState:
 
     def env_get(self, key):
         return self.env.env_vars.get(key)
+
+    def _sys_keccak(self, machine, to_guest: bytearray):
+        """Keccak coprocessor syscall (reference syscall/keccak.rs)."""
+        from ..circuit.keccak.preflight import keccak_f
+
+        mode = self.user_reg(machine, REG_A3)
+        if mode == KECCAK_PERMUTE:
+            max_inputs = (1 << self.env.keccak_max_po2) // KECCAK_PERMUTE_CYCLES
+            if len(self.keccak_inputs) >= max_inputs:
+                raise RuntimeError("keccak batch is full, prove must be called")
+            ptr = self.user_reg(machine, REG_A4)
+            raw = self.peek_region(machine, ptr, 25 * 8)
+            state = [int.from_bytes(raw[i * 8:(i + 1) * 8], "little")
+                     for i in range(25)]
+            self.keccak_inputs.append(list(state))
+            out = keccak_f(state)
+            for i, x in enumerate(out):
+                to_guest[i * 8:(i + 1) * 8] = x.to_bytes(8, "little")
+            full = len(self.keccak_inputs) >= max_inputs
+            return (1 if full else 0, 0)
+        if mode == KECCAK_PROVE:
+            claim = bytes(self.peek_region(
+                machine, self.user_reg(machine, REG_A4), 32))
+            root = bytes(self.peek_region(
+                machine, self.user_reg(machine, REG_A5), 32))
+            self.pending_keccaks.append({
+                "claim_digest": claim, "control_root": root,
+                "input": [list(s) for s in self.keccak_inputs],
+                "po2": self.env.keccak_max_po2,
+            })
+            self.keccak_inputs = []
+            return (0, 0)
+        raise RuntimeError(f"sys_keccak: invalid mode: {mode}")
 
     def _sys_read(self, machine, to_guest: bytearray):
         fd = self.user_reg(machine, REG_A3)
@@ -458,6 +550,8 @@ class ExecutorImpl:
         else:
             exit_code = ("SessionLimit",)
         return Session(
+            pending_keccaks=state.pending_keccaks,
+            assumptions_used=state.assumptions_used,
             segments=segments,
             journal=state.journal.getvalue(),
             exit_code=exit_code,
