@@ -286,3 +286,83 @@ def prove_program(program: Program, input_words, suite=None, rng=None,
 
     seal = prover.finalize([mix_m, global_m], _RecPlanHal(circuit))
     return seal, list(pf.output)
+
+
+# ---------------------------------------------------------------------------
+# Succinct receipts (reference zkvm/src/receipt/merkle.rs + host/recursion/
+# prove/mod.rs:393-440 prove_zkr)
+# ---------------------------------------------------------------------------
+
+ALLOWED_CODE_MERKLE_DEPTH = 8  # reference receipt/merkle.rs:30
+
+
+class MerkleGroup:
+    """Fixed-depth Merkle set of allowed recursion control IDs."""
+
+    def __init__(self, leaves):
+        assert len(leaves) < (1 << ALLOWED_CODE_MERKLE_DEPTH)
+        self.depth = ALLOWED_CODE_MERKLE_DEPTH
+        self.leaves = [np.asarray(d, np.uint32) for d in leaves]
+
+    def _leaf(self, i):
+        return self.leaves[i] if i < len(self.leaves) \
+            else np.zeros(8, np.uint32)
+
+    def calc_root(self, suite=None):
+        suite = suite or POSEIDON2
+
+        def rng_root(start, end):
+            if start + 1 == end:
+                return self._leaf(start)
+            mid = (start + end) // 2
+            return suite.hash_pair(rng_root(start, mid), rng_root(mid, end))
+        return rng_root(0, 1 << self.depth)
+
+    def get_proof(self, control_id, suite=None):
+        suite = suite or POSEIDON2
+        idx = next(i for i, l in enumerate(self.leaves)
+                   if np.array_equal(l, np.asarray(control_id, np.uint32)))
+        digests = []
+        lo, hi, pos = 0, 1 << self.depth, idx
+
+        def rng_root(start, end):
+            if start + 1 == end:
+                return self._leaf(start)
+            mid = (start + end) // 2
+            return suite.hash_pair(rng_root(start, mid), rng_root(mid, end))
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if pos < mid:
+                digests.append(rng_root(mid, hi))
+                hi = mid
+            else:
+                digests.append(rng_root(lo, mid))
+                lo = mid
+        digests.reverse()  # sibling path leaf -> root
+        return {"index": idx, "digests": digests}
+
+
+def read_sha_halfs(shorts):
+    """16 shorts -> 8 digest words (reference binfmt read_sha_halfs)."""
+    shorts = [int(x) for x in shorts]
+    return np.array([shorts[2 * i] | (shorts[2 * i + 1] << 16)
+                     for i in range(8)], np.uint32)
+
+
+def prove_zkr(program: Program, control_id, allowed_control_ids,
+              input_words, **kw):
+    """Prove a recursion program and wrap as a succinct receipt
+    (reference host/recursion/prove/mod.rs:393-440)."""
+    seal, output = prove_program(program, input_words, **kw)
+    seal_vals = F.decode_np(np.asarray(seal[:32], np.uint32))
+    claim_digest = read_sha_halfs(seal_vals[16:32])
+    group = MerkleGroup(allowed_control_ids)
+    return {
+        "seal": np.asarray(seal, np.uint32),
+        "control_id": np.asarray(control_id, np.uint32),
+        "control_root": group.calc_root(),
+        "control_inclusion_proof": group.get_proof(control_id),
+        "claim_digest": claim_digest,
+        "output": output,
+        "hashfn": "poseidon2",
+    }
