@@ -60,7 +60,7 @@ def main():
     try:
         from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
 
-        elf = open("/root/reference/risc0/zkvm/examples/loop.bin", "rb").read()
+        elf = open("/root/repo/guests/loop.bin", "rb").read()
         count = 1024 * 494 + 817
         env = ExecutorEnv(segment_po2=20).write_slice(
             count.to_bytes(4, "little"))

@@ -36,7 +36,9 @@ REGCOUNT_DATA = 128
 REGCOUNT_ACCUM = 12
 INVALID = np.uint32(0xFFFFFFFF)
 
-_KECCAK_ZKR_DIR = "/root/reference/risc0/circuit/keccak/src/prove"
+# Vendored copies of the released keccak_lift zkr programs (the reference
+# ships them as data too: risc0/circuit/keccak/src/prove/*.zkr.xz).
+_KECCAK_ZKR_DIR = os.path.join(os.path.dirname(__file__), "data", "zkr")
 
 
 class Program:

@@ -7,6 +7,12 @@ Payloads are pickled (segments are MB-scale, receipts ~100-300KB — the
 DCN-friendly transfer profile from SURVEY.md §2.11).
 
 Protocol frames: 4-byte little-endian length + pickle.
+
+SECURITY / trust boundary: frames are deserialized with pickle, which
+executes arbitrary code on load.  The factory and its workers must therefore
+only be exposed on loopback or on a fully-trusted private network (the same
+trust model as the reference's serde-over-TCP kameo actors).  Never bind the
+FactoryServer to an address reachable by untrusted peers.
 """
 
 from __future__ import annotations

@@ -45,6 +45,12 @@ def _run_proof_job(state: AppState, job_id: str, image_id: str,
     from .receipt import session_claim
 
     try:
+        # IDs are client-controlled: restrict to the same [\w-]+ charset the
+        # upload routes enforce so '../' or absolute paths cannot escape the
+        # storage directory.
+        for _id in (image_id, input_id):
+            if not re.fullmatch(r"[\w-]+", _id):
+                raise ValueError(f"invalid asset id: {_id!r}")
         elf = (state.storage / "images" / image_id).read_bytes()
         input_bytes = (state.storage / "inputs" / input_id).read_bytes()
         env = ExecutorEnv().write_slice(input_bytes)

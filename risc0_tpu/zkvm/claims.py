@@ -198,6 +198,25 @@ class ReceiptClaim:
         )
 
 
+def receipt_claim_ok(image_id, journal_digest) -> "ReceiptClaim":
+    """The claim of a successful (Halted(0), unconditional) execution
+    (reference claim/receipt.rs:77-95 ReceiptClaim::ok): pre is the pruned
+    image ID, post is SystemState{pc: 0, merkle_root: ZERO}, input is the
+    zero digest, and the output carries the journal digest with an empty
+    (zero-digest) assumptions list."""
+    out = Output(
+        journal=MaybePruned.from_digest(np.asarray(journal_digest, np.uint32)),
+        assumptions=MaybePruned.from_digest(ZERO_DIGEST),
+    )
+    return ReceiptClaim(
+        pre=MaybePruned.from_digest(np.asarray(image_id, np.uint32)),
+        post=MaybePruned.of(SystemState(0, ZERO_DIGEST)),
+        exit_code=ExitCode("Halted", 0),
+        input=None,
+        output=MaybePruned.of(out),
+    )
+
+
 @dataclass
 class UnionClaim:
     left: np.ndarray

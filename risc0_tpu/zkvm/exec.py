@@ -46,7 +46,7 @@ KECCAK_PERMUTE_CYCLES = 200
 
 V1COMPAT_ELF_PATH = os.environ.get(
     "RISC0_TPU_V1COMPAT",
-    "/root/reference/risc0/zkos/v1compat/elfs/v1compat.elf")
+    os.path.join(os.path.dirname(__file__), "data", "v1compat.elf"))
 
 REG_A3, REG_A4, REG_A5 = 13, 14, 15
 
@@ -77,6 +77,26 @@ class ExecutorEnv:
 
     def write_frame(self, payload: bytes) -> "ExecutorEnv":
         self.input += len(payload).to_bytes(4, "little") + bytes(payload)
+        return self
+
+    def add_assumption(self, receipt) -> "ExecutorEnv":
+        """Register an assumption receipt for guest env::verify
+        (reference host/client/env.rs add_assumption).  Accepts anything
+        with claim_digest()/claim; the control root defaults to zero
+        (meaning "same verifier context" per reference Assumption docs)."""
+        import numpy as np
+
+        if hasattr(receipt, "claim_digest"):
+            claim = np.asarray(receipt.claim_digest(), np.uint32)
+        elif hasattr(receipt, "claim"):
+            c = receipt.claim
+            claim = np.asarray(c() if callable(c) else c.digest(), np.uint32)
+        else:
+            claim = np.asarray(receipt, np.uint32)
+        root = getattr(receipt, "control_root", None)
+        root = (np.zeros(8, np.uint32) if root is None
+                else np.asarray(root, np.uint32))
+        self.assumptions[(claim.tobytes(), root.tobytes())] = receipt
         return self
 
 
@@ -251,7 +271,13 @@ class _SyscallState:
                 raise RuntimeError(
                     "sys_verify_integrity: no receipt found to resolve "
                     f"assumption: claim {claim.hex()}")
-            self.assumptions_used.insert(0, self.env.assumptions[key])
+            from .claims import Assumption
+
+            assumption = Assumption(
+                np.frombuffer(claim, np.uint32).copy(),
+                np.frombuffer(root, np.uint32).copy())
+            self.assumptions_used.insert(
+                0, (assumption, self.env.assumptions[key]))
             return (0, 0)
         if name == SYS_ARGC:
             return (len(self.env.args), 0)
@@ -454,13 +480,18 @@ class ExecutorImpl:
         return ExecutorImpl(env, pb.user_elf, pb.kernel_elf)
 
     def compute_image_id(self) -> np.ndarray:
+        """User-facing image ID = SystemState{pc: 0, merkle_root}.digest()
+        (reference binfmt/src/elf.rs:403-406), i.e. the digest of the claim
+        pre-state — what Receipt.verify(image_id) compares against."""
+        from .claims import SystemState
+
         lib = native.lib()
         out = (C.c_uint32 * 8)()
         rc = lib.r0_compute_image_id(self.user_elf, len(self.user_elf),
                                      self.kernel_elf, len(self.kernel_elf), out)
         if rc != 0:
             raise RuntimeError(lib.r0_last_error().decode())
-        return _digest_np(out)
+        return SystemState(0, _digest_np(out)).digest()
 
     def run(self, segment_callback=None) -> Session:
         lib = native.lib()
@@ -549,6 +580,11 @@ class ExecutorImpl:
             exit_code = (kind, user_exit)
         else:
             exit_code = ("SessionLimit",)
+        # On Halted the session post state root is zeroed (reference
+        # host/server/exec/executor.rs:279-282), making the final claim
+        # digest-comparable with ReceiptClaim::ok.
+        post_state = (np.zeros(8, np.uint32) if exit_code[0] == "Halted"
+                      else _digest_np(result.post_state))
         return Session(
             pending_keccaks=state.pending_keccaks,
             assumptions_used=state.assumptions_used,
@@ -560,7 +596,7 @@ class ExecutorImpl:
             paging_cycles=result.paging_cycles,
             reserved_cycles=result.reserved_cycles,
             pre_state=_digest_np(result.pre_state),
-            post_state=_digest_np(result.post_state),
+            post_state=post_state,
             input_digest=_digest_np(result.input),
             output_digest=_digest_np(result.output) if result.has_output else None,
         )

@@ -92,7 +92,6 @@ class DevModeProver(ProverServer):
             final = i == len(session.segments) - 1
             sc = segment_claim(seg, final, session_exit, output)
             receipts.append(FakeReceipt(sc))
-        composite = CompositeReceipt(segments=receipts)
         receipt = Receipt(InnerReceipt("fake", FakeReceipt(claim)),
                           session.journal)
         return ProveInfo(receipt=receipt, session=session)
@@ -115,8 +114,62 @@ class DevModeProver(ProverServer):
         return FakeReceipt(joined)
 
     def resolve(self, conditional, assumption):
+        """Strip the resolved assumption from the conditional claim's output
+        (mirrors reference resolve semantics on the claim level)."""
         self._sleep(self.delay.resolve)
-        return conditional
+        claim = conditional.claim
+        out = claim.output.value if claim.output is not None else None
+        if out is None or len(out.assumptions.value.items) == 0:
+            return conditional
+        from .claims import Assumptions, Output, ReceiptClaim
+
+        rest = Assumptions(list(out.assumptions.value.items[1:]))
+        new_out = Output(out.journal, MaybePruned.of(rest))
+        return FakeReceipt(ReceiptClaim(
+            pre=claim.pre, post=claim.post, exit_code=claim.exit_code,
+            input=claim.input, output=MaybePruned.of(new_out)))
+
+
+class ProverImpl(ProverServer):
+    """Cryptographic local prover (reference prove/prover_impl.rs:52-181):
+    proves every segment with the rv32im STARK prover, chains the claims into
+    a CompositeReceipt, and self-verifies before returning."""
+
+    def __init__(self, opts: ProverOpts | None = None):
+        self.opts = opts or ProverOpts()
+
+    def prove_session(self, session: Session) -> ProveInfo:
+        from ..circuit.rv32im.prove import prove_segment as rv_prove_segment
+
+        claim = session_claim(session)
+        kind, *rest = session.exit_code
+        session_exit = ExitCode(kind, rest[0] if rest else 0)
+        output = claim.output
+        receipts = []
+        for i, seg in enumerate(session.segments):
+            final = i == len(session.segments) - 1
+            sc = segment_claim(seg, final, session_exit, output)
+            seal = rv_prove_segment(seg)
+            receipts.append(SegmentReceipt(
+                seal=seal, index=i, hashfn=self.opts.hashfn, claim=sc))
+        assumption_receipts = [
+            r for _a, r in session.assumptions_used
+            if hasattr(r, "verify_integrity")]
+        composite = CompositeReceipt(
+            segments=receipts, assumption_receipts=assumption_receipts)
+        receipt = Receipt(InnerReceipt("composite", composite),
+                          session.journal)
+        # Self-check before returning (reference prover_impl.rs:155-170).
+        ctx = VerifierContext(hashfn=self.opts.hashfn, dev_mode=False)
+        receipt.verify_integrity(ctx)
+        return ProveInfo(receipt=receipt, session=session)
+
+    def prove_segment(self, seg, claim) -> SegmentReceipt:
+        from ..circuit.rv32im.prove import prove_segment as rv_prove_segment
+
+        seal = rv_prove_segment(seg)
+        return SegmentReceipt(seal=seal, index=getattr(seg, "index", 0),
+                              hashfn=self.opts.hashfn, claim=claim)
 
 
 def get_prover_server(opts: ProverOpts | None = None) -> ProverServer:
@@ -124,9 +177,7 @@ def get_prover_server(opts: ProverOpts | None = None) -> ProverServer:
     opts = opts or ProverOpts()
     if opts.dev_mode:
         return DevModeProver()
-    raise NotImplementedError(
-        "cryptographic rv32im prover lands with the circuit port; "
-        "set RISC0_DEV_MODE=1 for dev-mode proving")
+    return ProverImpl(opts)
 
 
 def default_prover() -> ProverServer:

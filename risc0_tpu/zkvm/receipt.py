@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .claims import (Assumptions, ExitCode, MaybePruned, Output, ReceiptClaim,
-                     bytes_digest, tagged_struct)
+                     bytes_digest, receipt_claim_ok, tagged_struct)
 
 DEFAULT_MAX_PO2 = 22  # reference receipt.rs:884
 
@@ -64,9 +64,24 @@ class SegmentReceipt:
     verifier_parameters: np.ndarray | None = None
 
     def verify_integrity(self, ctx: VerifierContext):
-        # zkp::verify over the rv32im circuit + control-ID check; requires the
-        # circuit verifier (round 2).  Claims are still chained by the caller.
-        raise VerificationError("rv32im segment verification not yet wired")
+        """Cryptographic verification: run the rv32im STARK verifier over the
+        seal, then check the claim decoded from the seal globals matches this
+        receipt's claim (reference receipt/segment.rs verify_integrity)."""
+        from ..circuit.rv32im.claim import decode_claim
+        from ..circuit.rv32im.verify import verify_rv32im_seal
+        from ..verify.verifier import VerificationError as ZkpError
+
+        if self.hashfn != ctx.hashfn:
+            raise VerificationError(
+                f"hashfn mismatch: seal {self.hashfn}, ctx {ctx.hashfn}")
+        try:
+            verify_rv32im_seal(self.seal)
+        except ZkpError as e:
+            raise VerificationError(f"rv32im seal invalid: {e}") from e
+        decoded = decode_claim(self.seal)
+        if not np.array_equal(decoded.digest(), self.claim.digest()):
+            raise VerificationError(
+                "seal-decoded claim does not match receipt claim")
 
 
 @dataclass
@@ -136,33 +151,20 @@ class Receipt:
         return self.inner.claim()
 
     def verify(self, image_id, ctx: VerifierContext | None = None):
-        """reference receipt.rs:152-207"""
+        """Full verification (reference receipt.rs:163-194): verify the inner
+        proof, then compare the complete claim digest against
+        ReceiptClaim::ok(image_id, journal) — which constrains exit code
+        Halted(0), zero input digest, zeroed post state, the journal digest,
+        and an empty assumptions list all at once."""
         ctx = ctx or VerifierContext()
         self.inner.verify_integrity(ctx)
         claim = self.claim()
-        # check image id
-        from .claims import SystemState
-
-        expected_pre = np.asarray(image_id, np.uint32)
-        got_pre = claim.pre.digest()
-        # pre may be SystemState-wrapped or a raw image digest
-        if not (np.array_equal(got_pre, expected_pre) or np.array_equal(
-                got_pre, SystemState(0, expected_pre).digest())):
-            raise VerificationError("image id mismatch")
-        if claim.exit_code.kind != "Halted":
+        expected = receipt_claim_ok(image_id, bytes_digest(self.journal))
+        if not np.array_equal(expected.digest(), claim.digest()):
             raise VerificationError(
-                f"unexpected exit code: {claim.exit_code.kind}")
-        # journal must match the claimed output
-        expected_output = Output.of(self.journal).digest() if claim.output \
-            else None
-        if claim.output is None:
-            if self.journal:
-                raise VerificationError("journal present but no output claimed")
-        else:
-            claimed = claim.output.digest() if isinstance(
-                claim.output, MaybePruned) else claim.output.digest()
-            if not np.array_equal(claimed, expected_output):
-                raise VerificationError("journal digest mismatch")
+                "receipt claim does not match the expected claim for "
+                f"image_id/journal (got exit={claim.exit_code}, "
+                f"expected Halted(0))")
 
     def verify_integrity(self, ctx: VerifierContext | None = None):
         self.inner.verify_integrity(ctx or VerifierContext())
@@ -177,7 +179,12 @@ def session_claim(session) -> ReceiptClaim:
     exit_code = ExitCode(kind, rest[0] if rest else 0)
     output = None
     if exit_code.is_term:
-        output = MaybePruned.of(Output.of(session.journal))
+        # Unresolved assumptions recorded via sys_verify_integrity become part
+        # of the session output (reference host/server/session.rs:199-236);
+        # resolve() strips them one by one.
+        assumptions = Assumptions(
+            [MaybePruned.of(a) for a, _receipt in session.assumptions_used])
+        output = MaybePruned.of(Output.of(session.journal, assumptions))
     return ReceiptClaim(
         pre=MaybePruned.of(SystemState(0, session.pre_state)),
         post=MaybePruned.of(SystemState(0, session.post_state)),
@@ -193,9 +200,13 @@ def segment_claim(seg, final: bool, session_exit: ExitCode,
     from .claims import SystemState
 
     exit_code = session_exit if final else ExitCode("SystemSplit")
+    # Halted segments have a zeroed post state root in the decoded claim
+    # (reference claim/receipt.rs:168-171).
+    post_digest = (np.zeros(8, np.uint32) if exit_code.kind == "Halted"
+                   else seg.post_digest)
     return ReceiptClaim(
         pre=MaybePruned.of(SystemState(0, seg.pre_digest)),
-        post=MaybePruned.of(SystemState(0, seg.post_digest)),
+        post=MaybePruned.of(SystemState(0, post_digest)),
         exit_code=exit_code,
         input=MaybePruned.from_digest(seg.input_digest),
         output=output if final else None,

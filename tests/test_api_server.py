@@ -10,7 +10,7 @@ import pytest
 
 from risc0_tpu.zkvm.api_server import serve
 
-LOOP = "/root/reference/risc0/zkvm/examples/loop.bin"
+LOOP = "/root/repo/guests/loop.bin"
 
 
 @pytest.fixture(scope="module")

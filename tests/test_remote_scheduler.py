@@ -10,7 +10,7 @@ from risc0_tpu.parallel.scheduler import (Factory, ProofJob, Task, TaskKind,
 from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
 from risc0_tpu.zkvm.prover import DevModeProver
 
-LOOP = "/root/reference/risc0/zkvm/examples/loop.bin"
+LOOP = "/root/repo/guests/loop.bin"
 
 
 def test_remote_workers_run_proof_dag():

@@ -152,7 +152,7 @@ def test_claim_decode_roundtrip():
 def _loop_segment(po2=16, count=100):
     from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
 
-    elf = open("/root/reference/risc0/zkvm/examples/loop.bin", "rb").read()
+    elf = open("/root/repo/guests/loop.bin", "rb").read()
     env = ExecutorEnv(segment_po2=po2).write_slice(
         count.to_bytes(4, "little"))
     return ExecutorImpl(env, elf).run().segments[0]

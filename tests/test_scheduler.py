@@ -9,7 +9,7 @@ from risc0_tpu.parallel.scheduler import (Factory, ProofJob, TaskKind,
 from risc0_tpu.zkvm.exec import ExecutorEnv
 from risc0_tpu.zkvm.prover import DevModeDelay, DevModeProver
 
-LOOP = "/root/reference/risc0/zkvm/examples/loop.bin"
+LOOP = "/root/repo/guests/loop.bin"
 
 
 @pytest.fixture(scope="module")

@@ -13,7 +13,7 @@ from risc0_tpu.zkvm.prover import DevModeDelay, DevModeProver
 from risc0_tpu.zkvm.receipt import (Receipt, VerificationError,
                                     VerifierContext, session_claim)
 
-LOOP = "/root/reference/risc0/zkvm/examples/loop.bin"
+LOOP = "/root/repo/guests/loop.bin"
 
 
 def test_tagged_struct_golden():
@@ -56,7 +56,7 @@ def test_wrong_image_id_rejected():
     env = ExecutorEnv(segment_po2=16).write_slice((1).to_bytes(4, "little"))
     info = DevModeProver().prove(env, elf)
     bad = np.arange(8, dtype=np.uint32)
-    with pytest.raises(VerificationError, match="image id"):
+    with pytest.raises(VerificationError, match="does not match the expected claim"):
         info.receipt.verify(bad, VerifierContext(dev_mode=True))
 
 
