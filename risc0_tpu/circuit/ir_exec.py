@@ -47,11 +47,16 @@ class Plan:
     ret_slot: int = 0
 
 
-def build_plan(circuit) -> Plan:
+def dedup_ops(circuit):
+    """Pass 1: scratch aliasing + dedup of taps/consts/globals.
+
+    Returns (kept, ret_reg): `kept` is the list of (op, dst, operands...)
+    with scratch reads/writes resolved to SSA aliases and duplicate
+    tap/const/global reads deduplicated; `ret_reg` the final ext register.
+    """
     ops, A = circuit.opcode, circuit.operands
     n = len(ops)
 
-    # ---- pass 1: scratch aliasing + dedup of taps/consts/globals ----------
     # value ids: ('f', reg) / ('e', reg); alias maps resolve to canonical ids
     alias_f = {}
     alias_e = {}
@@ -129,31 +134,38 @@ def build_plan(circuit) -> Plan:
         else:
             raise ValueError(f"bad opcode {op}")
 
-    ret_reg = re_(circuit.ret[1])
+    return kept, re_(circuit.ret[1])
+
+
+def deps_of_item(item):
+    """(fp_deps, ext_deps) of a dedup'd op."""
+    op = item[0]
+    if op in (FCONST, FTAP, FGLOBAL, ECONST):
+        return (), ()
+    if op in (FADD, FSUB, FMUL):
+        return (item[2], item[3]), ()
+    if op in (EADD, ESUB, EMUL):
+        return (), (item[2], item[3])
+    if op in (ESCALE, EADDF):
+        return (item[3],), (item[2],)
+    if op == FSUBE:
+        return (item[2],), (item[3],)
+    if op == ESUBF:
+        return (item[3],), (item[2],)
+    if op == EMADD:
+        fdeps = item[4]
+        edeps = (item[2],) + ((item[5],) if item[5] >= 0 else ())
+        return fdeps, edeps
+    raise AssertionError
+
+
+def build_plan(circuit) -> Plan:
+    kept, ret_reg = dedup_ops(circuit)
 
     # ---- pass 2: levelize -------------------------------------------------
     level_f = {}
     level_e = {}
-
-    def deps_of(item):
-        op = item[0]
-        if op in (FCONST, FTAP, FGLOBAL, ECONST):
-            return (), ()
-        if op in (FADD, FSUB, FMUL):
-            return (item[2], item[3]), ()
-        if op in (EADD, ESUB, EMUL):
-            return (), (item[2], item[3])
-        if op in (ESCALE, EADDF):
-            return (item[3],), (item[2],)
-        if op == FSUBE:
-            return (item[2],), (item[3],)
-        if op == ESUBF:
-            return (item[3],), (item[2],)
-        if op == EMADD:
-            fdeps = item[4]
-            edeps = (item[2],) + ((item[5],) if item[5] >= 0 else ())
-            return fdeps, edeps
-        raise AssertionError
+    deps_of = deps_of_item
 
     op_level = []
     for item in kept:

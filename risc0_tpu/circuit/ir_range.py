@@ -1,0 +1,463 @@
+"""Range-file executor for extracted constraint IRs — the TPU device path.
+
+The level-scheduled plan in `ir_exec` executes through scatters into a
+(slots, T) register file; XLA lowers those scatters poorly on TPU (and
+constant-folds them at compile time, which made the jit graph take tens of
+minutes to build).  This module compiles the same dedup'd op stream
+(`ir_exec.dedup_ops`) into a *range file* program:
+
+  1. every op's destination is a fresh row of an append-only register file,
+     and ops within one (level, opcode) group get **contiguous** rows — so
+     each group's write lowers to a static `dynamic_update_slice`, never a
+     scatter; reads are constant-index row gathers;
+  2. `emadd` accumulation chains (acc' = acc + poly_mix^k * term, the
+     constraint-mix accumulation from the generated poly_fp code — reference
+     risc0/circuit/rv32im-sys/kernels/cxx/rust_poly_fp_*.cpp shape) are
+     collapsed into batched gather -> multiply -> tree-reduce ops: one chain
+     of length k costs one (k, T) gather + one reduction instead of k
+     dependent ext ops.  Field addition is associative, so the reduction is
+     bit-exact with the sequential chain (all values canonical mod P);
+  3. the whole domain runs as `lax.map` over fixed-size chunks inside ONE
+     jit — a single device dispatch and a single compile per po2.
+
+Conformance: `tests/test_rv32im_circuit.py` checks this path against the
+numpy plan oracle (`ir_exec.execute_plan_np`) which itself is conformance-
+tested against the scalar `poly_ext` verifier evaluator.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+from .. import field as F
+from . import ir_exec
+from .ir_exec import (EADD, EADDF, ECONST, EMADD, EMUL, ESCALE, ESUB, ESUBF,
+                      FADD, FCONST, FGLOBAL, FMUL, FSUB, FSUBE, FTAP,
+                      deps_of_item)
+
+
+@dataclass
+class Chain:
+    """A collapsed emadd accumulation chain."""
+
+    dst: int                 # ext reg of the final acc
+    acc: int                 # ext reg feeding the first emadd
+    t1f: list                # [(mix_idx, f_reg)]        term = pm^k * f
+    te: list                 # [(mix_idx, e_reg)]        term = pm^k * e
+    tfe: list                # [(mix_idx, f_reg, e_reg)] term = pm^k * f * e
+
+
+@dataclass
+class RangePlan:
+    const_vals: np.ndarray       # (nc,) Montgomery fp constants
+    tap_specs: list              # [(buf, col, back)]
+    global_specs: list           # [(buf, idx)]
+    econst_vals: np.ndarray      # (ne, 4) Montgomery
+    fp_rows: int = 0             # total fp file rows
+    ext_rows: int = 0            # total ext file rows
+    groups: list = field(default_factory=list)   # execution order
+    ret_row: int = 0
+
+
+def _collapse_chains(kept, ret_reg):
+    """Replace single-use emadd chains with Chain records."""
+    euse = {}
+
+    def use(r):
+        euse[r] = euse.get(r, 0) + 1
+
+    for item in kept:
+        _f, edeps = deps_of_item(item)
+        for r in edeps:
+            use(r)
+    use(ret_reg)
+
+    prod = {}
+    for i, item in enumerate(kept):
+        if item[0] in (ECONST, EADD, ESUB, EMUL, ESCALE, EADDF, FSUBE,
+                       ESUBF, EMADD):
+            prod[item[1]] = i
+
+    # i -> index of the emadd consuming kept[i]'s acc output (chain link)
+    chain_prev = {}
+    for i, item in enumerate(kept):
+        if item[0] != EMADD:
+            continue
+        j = prod.get(item[2])
+        if j is not None and kept[j][0] == EMADD and euse[item[2]] == 1:
+            chain_prev[i] = j
+
+    linked = set(chain_prev.values())
+    out = []
+    for i, item in enumerate(kept):
+        if item[0] == EMADD and i in linked:
+            continue  # interior chain member; emitted at the terminator
+        if item[0] == EMADD:
+            # terminator: walk back to the chain start
+            members = [i]
+            cur = i
+            while cur in chain_prev:
+                cur = chain_prev[cur]
+                members.append(cur)
+            members.reverse()
+            first = kept[members[0]]
+            ch = Chain(dst=item[1], acc=first[2], t1f=[], te=[], tfe=[])
+            for m in members:
+                _, _dst, _acc, k, ffs, ef = kept[m]
+                if len(ffs) == 1 and ef < 0:
+                    ch.t1f.append((k, ffs[0]))
+                elif len(ffs) == 0 and ef >= 0:
+                    ch.te.append((k, ef))
+                elif len(ffs) == 1 and ef >= 0:
+                    ch.tfe.append((k, ffs[0], ef))
+                elif len(ffs) == 0 and ef < 0:
+                    # bare pm^k constant term: fold as te with MONT_ONE? keep
+                    # exact: represent as t1f with an implicit one — use a
+                    # dedicated const-one fp row would complicate; emadd with
+                    # no factors does not occur in the extracted circuits.
+                    raise NotImplementedError("emadd with no factors")
+                else:
+                    raise NotImplementedError(
+                        f"emadd with {len(ffs)} fp factors")
+            out.append(ch)
+        else:
+            out.append(item)
+    return out
+
+
+def build_range_plan(circuit) -> RangePlan:
+    kept, ret_reg = ir_exec.dedup_ops(circuit)
+    nodes = _collapse_chains(kept, ret_reg)
+
+    # ---- input staging rows ----------------------------------------------
+    const_vals, tap_specs, global_specs, econst_vals = [], [], [], []
+    fp_row = {}
+    ext_row = {}
+    body = []
+    for item in nodes:
+        if isinstance(item, Chain):
+            body.append(item)
+            continue
+        op = item[0]
+        if op == FCONST:
+            fp_row[item[1]] = len(const_vals)
+            const_vals.append(F.s_encode(int(item[2])))
+        elif op == FTAP:
+            tap_specs.append(tuple(int(x) for x in item[2]))
+            fp_row[item[1]] = ("tap", len(tap_specs) - 1)
+        elif op == FGLOBAL:
+            global_specs.append(tuple(int(x) for x in item[2]))
+            fp_row[item[1]] = ("glob", len(global_specs) - 1)
+        elif op == ECONST:
+            ext_row[item[1]] = len(econst_vals)
+            econst_vals.append(F.encode_np(np.array(item[2], np.uint32)))
+        else:
+            body.append(item)
+    nc, nt, ng = len(const_vals), len(tap_specs), len(global_specs)
+    # Reorder taps so all accum-buffer taps come before data-buffer taps:
+    # the chunk runner then builds the tap rows as two gathers + one concat
+    # instead of a scatter.
+    tap_order = sorted(range(nt), key=lambda i: tap_specs[i][0])
+    tap_pos = {old: new for new, old in enumerate(tap_order)}
+    tap_specs = [tap_specs[i] for i in tap_order]
+    # final fp layout: [consts][taps][globals][op outputs...]
+    for r, v in list(fp_row.items()):
+        if isinstance(v, tuple):
+            fp_row[r] = (nc + tap_pos[v[1]] if v[0] == "tap"
+                         else nc + nt + v[1])
+
+    # ---- levelize ---------------------------------------------------------
+    lvl_f = {r: 0 for r in fp_row}
+    lvl_e = {r: 0 for r in ext_row}
+    node_level = []
+    for item in body:
+        if isinstance(item, Chain):
+            deps_f = [f for _, f in item.t1f] + [f for _, f, _ in item.tfe]
+            deps_e = ([item.acc] + [e for _, e in item.te]
+                      + [e for _, _, e in item.tfe])
+            lvl = 0
+            for r in deps_f:
+                lvl = max(lvl, lvl_f[r] + 1)
+            for r in deps_e:
+                lvl = max(lvl, lvl_e[r] + 1)
+            lvl_e[item.dst] = lvl
+        else:
+            fdeps, edeps = deps_of_item(item)
+            lvl = 0
+            for r in fdeps:
+                lvl = max(lvl, lvl_f[r] + 1)
+            for r in edeps:
+                lvl = max(lvl, lvl_e[r] + 1)
+            if item[0] in (FADD, FSUB, FMUL):
+                lvl_f[item[1]] = lvl
+            else:
+                lvl_e[item[1]] = lvl
+        node_level.append(lvl)
+
+    order = sorted(range(len(body)), key=lambda i: node_level[i])
+
+    # ---- contiguous allocation + grouping ---------------------------------
+    fp_next = nc + nt + ng
+    ext_next = len(econst_vals)
+    groups = []
+    i = 0
+    KIND = {FADD: "fadd", FSUB: "fsub", FMUL: "fmul", EADD: "eadd",
+            ESUB: "esub", EMUL: "emul", ESCALE: "escale", EADDF: "eaddf",
+            FSUBE: "fsube", ESUBF: "esubf"}
+    while i < len(order):
+        lvl = node_level[order[i]]
+        j = i
+        by_kind = {}
+        while j < len(order) and node_level[order[j]] == lvl:
+            item = body[order[j]]
+            k = "chain" if isinstance(item, Chain) else KIND[item[0]]
+            by_kind.setdefault(k, []).append(item)
+            j += 1
+        for kind, items in by_kind.items():
+            if kind == "chain":
+                for ch in items:
+                    ext_row[ch.dst] = ext_next
+                    ext_next += 1
+                    groups.append(("chain", ch))
+                continue
+            is_fp = kind in ("fadd", "fsub", "fmul")
+            dst0 = fp_next if is_fp else ext_next
+            a_idx, b_idx = [], []
+            for item in items:
+                if is_fp:
+                    fp_row[item[1]] = fp_next
+                    fp_next += 1
+                    a_idx.append(item[2])
+                    b_idx.append(item[3])
+                else:
+                    ext_row[item[1]] = ext_next
+                    ext_next += 1
+                    a_idx.append(item[2])
+                    b_idx.append(item[3])
+            groups.append((kind, dst0, a_idx, b_idx))
+        i = j
+
+    # resolve reg ids -> rows in operand arrays
+    resolved = []
+    for g in groups:
+        if g[0] == "chain":
+            ch = g[1]
+            resolved.append(("chain", {
+                "dst": ext_row[ch.dst],
+                "acc": ext_row[ch.acc],
+                "t1f": np.array([(k, fp_row[f]) for k, f in ch.t1f],
+                                np.int32).reshape(-1, 2),
+                "te": np.array([(k, ext_row[e]) for k, e in ch.te],
+                               np.int32).reshape(-1, 2),
+                "tfe": np.array([(k, fp_row[f], ext_row[e])
+                                 for k, f, e in ch.tfe],
+                                np.int32).reshape(-1, 3),
+            }))
+            continue
+        kind, dst0, a_idx, b_idx = g
+        if kind in ("fadd", "fsub", "fmul"):
+            a = np.array([fp_row[r] for r in a_idx], np.int32)
+            b = np.array([fp_row[r] for r in b_idx], np.int32)
+        elif kind in ("eadd", "esub", "emul"):
+            a = np.array([ext_row[r] for r in a_idx], np.int32)
+            b = np.array([ext_row[r] for r in b_idx], np.int32)
+        elif kind in ("escale", "eaddf", "esubf"):
+            a = np.array([ext_row[r] for r in a_idx], np.int32)
+            b = np.array([fp_row[r] for r in b_idx], np.int32)
+        elif kind == "fsube":
+            a = np.array([fp_row[r] for r in a_idx], np.int32)
+            b = np.array([ext_row[r] for r in b_idx], np.int32)
+        resolved.append((kind, dst0, a, b))
+
+    plan = RangePlan(
+        const_vals=np.array(const_vals, np.uint32),
+        tap_specs=tap_specs,
+        global_specs=global_specs,
+        econst_vals=(np.stack(econst_vals) if econst_vals
+                     else np.zeros((0, 4), np.uint32)),
+        fp_rows=fp_next,
+        ext_rows=ext_next,
+        groups=resolved,
+        ret_row=ext_row[ret_reg],
+    )
+    return plan
+
+
+# (2^16 * R) mod P: F.mul(x, _MONT_2_16) == (x << 16) mod P for plain x < P
+_MONT_2_16 = (65536 * F.R) % F.P
+
+
+def _reduce_mod_p(terms, axis=0):
+    """Bit-exact field sum along axis without u64 (unavailable on TPU u32
+    path): sum 16-bit halves separately in uint32 — for k <= 2^15 terms the
+    partial sums stay below 2^31 — then recombine mod P.  Equal to the
+    sequential F.add chain because field addition is associative and all
+    inputs are canonical (< P)."""
+    import jax.numpy as jnp
+
+    k = terms.shape[axis]
+    assert k < (1 << 15)
+    lo = jnp.sum(terms & jnp.uint32(0xFFFF), axis=axis)    # < k * 2^16
+    hi = jnp.sum(terms >> jnp.uint32(16), axis=axis)       # < k * 2^15
+    lo = lo % jnp.uint32(F.P)
+    hi = hi % jnp.uint32(F.P)
+    return F.add(lo, F.mul(hi, jnp.uint32(_MONT_2_16)))
+
+
+def _run_chunk(plan, fp0, ext0, tapm, gvals, pm_pows, T):
+    """Execute the op groups for one chunk; returns the (T, 4) check value.
+
+    fp0/ext0: preallocated zero files with consts staged; tapm: (n_taps, T).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nc = len(plan.const_vals)
+    nt = len(plan.tap_specs)
+    fp = jax.lax.dynamic_update_slice(fp0, tapm, (nc, 0))
+    if len(plan.global_specs):
+        gv = jnp.broadcast_to(gvals[:, None], (len(plan.global_specs), T))
+        fp = jax.lax.dynamic_update_slice(fp, gv, (nc + nt, 0))
+    ext = ext0
+
+    for g in plan.groups:
+        if g[0] == "chain":
+            ch = g[1]
+            parts = [ext[ch["acc"]]]  # (T, 4)
+            if len(ch["t1f"]):
+                ks, fs = ch["t1f"][:, 0], ch["t1f"][:, 1]
+                terms = F.mul(pm_pows[ks][:, None, :], fp[fs][:, :, None])
+                parts.append(_reduce_mod_p(terms))
+            if len(ch["te"]):
+                ks, es = ch["te"][:, 0], ch["te"][:, 1]
+                terms = F.ext_mul(pm_pows[ks][:, None, :], ext[es])
+                parts.append(_reduce_mod_p(terms))
+            if len(ch["tfe"]):
+                ks, fs, es = ch["tfe"][:, 0], ch["tfe"][:, 1], ch["tfe"][:, 2]
+                t = F.mul(pm_pows[ks][:, None, :], fp[fs][:, :, None])
+                terms = F.ext_mul(t, ext[es])
+                parts.append(_reduce_mod_p(terms))
+            tot = parts[0]
+            for p_ in parts[1:]:
+                tot = F.add(tot, p_)
+            ext = jax.lax.dynamic_update_slice(
+                ext, tot[None], (ch["dst"], 0, 0))
+            continue
+        kind, dst0, a, b = g
+        if kind == "fadd":
+            vals = F.add(fp[a], fp[b])
+        elif kind == "fsub":
+            vals = F.sub(fp[a], fp[b])
+        elif kind == "fmul":
+            vals = F.mul(fp[a], fp[b])
+        elif kind == "eadd":
+            vals = F.add(ext[a], ext[b])
+        elif kind == "esub":
+            vals = F.sub(ext[a], ext[b])
+        elif kind == "emul":
+            vals = F.ext_mul(ext[a], ext[b])
+        elif kind == "escale":
+            vals = F.mul(ext[a], fp[b][:, :, None])
+        elif kind == "eaddf":
+            t = ext[a]
+            vals = t.at[:, :, 0].set(F.add(t[:, :, 0], fp[b]))
+        elif kind == "esubf":
+            k = a.shape[0]
+            fe = jnp.zeros((k, T, 4), jnp.uint32).at[:, :, 0].set(fp[b])
+            vals = F.sub(ext[a], fe)
+        elif kind == "fsube":
+            k = a.shape[0]
+            fe = jnp.zeros((k, T, 4), jnp.uint32).at[:, :, 0].set(fp[a])
+            vals = F.sub(fe, ext[b])
+        else:
+            raise AssertionError(kind)
+        if kind in ("fadd", "fsub", "fmul"):
+            fp = jax.lax.dynamic_update_slice(fp, vals, (dst0, 0))
+        else:
+            ext = jax.lax.dynamic_update_slice(ext, vals, (dst0, 0, 0))
+    return ext[plan.ret_row]
+
+
+def make_eval_check(circuit, po2: int, chunk: int = 2048):
+    """Build the jitted full-domain eval_check for one po2.
+
+    Returns fn(accum_ev, data_ev, out_globals, mix_globals, pm_pows) ->
+    (4, domain) check polynomial (zeros-poly division included), matching
+    the semantics of Rv32imCircuitHal.eval_check.  One dispatch, one compile.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    plan = circuit.range_plan if hasattr(circuit, "range_plan") else None
+    if plan is None:
+        plan = build_range_plan(circuit)
+        try:
+            circuit.range_plan = plan
+        except Exception:
+            pass
+
+    cycles = 1 << po2
+    domain = cycles * 4
+    T = min(chunk, domain)
+    n_chunks = domain // T
+
+    specs = np.array(plan.tap_specs, np.int64)  # (n, 3): buf, col, back
+    a_mask = specs[:, 0] == 0
+    a_pos = np.nonzero(a_mask)[0]
+    d_pos = np.nonzero(~a_mask)[0]
+    a_cols = specs[a_mask, 1]
+    a_backs = specs[a_mask, 2]
+    d_cols = specs[~a_mask, 1]
+    d_backs = specs[~a_mask, 2]
+    n_taps = len(specs)
+
+    # zeros-poly inverse: 1 / ((3x)^cycles - 1) over the shifted domain;
+    # pattern repeats with period 4 (reference hal/cpu.rs:192-197)
+    w = F.s_encode(F.ROU_FWD[po2 + 2])
+    kpow = F.s_pow(F.s_encode(3), cycles)
+    wq = F.s_pow(w, cycles)
+    ys, cw = [], F.R % F.P
+    for _ in range(4):
+        ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
+        cw = F.s_mul(cw, wq)
+    invz_pat = np.array(ys, np.uint32)
+
+    nf, ne = plan.fp_rows, plan.ext_rows
+    nc = len(plan.const_vals)
+
+    @jax.jit
+    def run(accum_ev, data_ev, gvals, pm_pows):
+        fp0 = jnp.zeros((nf, T), jnp.uint32)
+        fp0 = jax.lax.dynamic_update_slice(
+            fp0, jnp.broadcast_to(jnp.asarray(plan.const_vals)[:, None],
+                                  (nc, T)), (0, 0))
+        ext0 = jnp.zeros((ne, T, 4), jnp.uint32)
+        if len(plan.econst_vals):
+            ext0 = jax.lax.dynamic_update_slice(
+                ext0, jnp.broadcast_to(
+                    jnp.asarray(plan.econst_vals)[:, None, :],
+                    (len(plan.econst_vals), T, 4)), (0, 0, 0))
+
+        ar = jnp.arange(T, dtype=jnp.int32)
+
+        def one_chunk(start):
+            # tap_specs are ordered [accum taps][data taps] (build_range_plan)
+            ia = (start - 4 * jnp.asarray(a_backs)[:, None]
+                  + ar[None, :]) % domain
+            a_rows = accum_ev[jnp.asarray(a_cols)[:, None], ia]
+            idx = (start - 4 * jnp.asarray(d_backs)[:, None]
+                   + ar[None, :]) % domain
+            d_rows = data_ev[jnp.asarray(d_cols)[:, None], idx]
+            tapm = jnp.concatenate([a_rows, d_rows], axis=0)
+            return _run_chunk(plan, fp0, ext0, tapm, gvals, pm_pows, T)
+
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * T
+        tot = jax.lax.map(one_chunk, starts)       # (n_chunks, T, 4)
+        tot = tot.reshape(domain, 4)
+        invz = jnp.tile(jnp.asarray(invz_pat), domain // 4)
+        return F.mul(tot, invz[:, None]).T          # (4, domain)
+
+    return run

@@ -22,53 +22,40 @@ from .witgen import (REGCOUNT_MIX, witgen_accum, witgen_exec)
 
 
 class Rv32imCircuitHal:
-    """Device eval_check: jitted level-scheduled plan runner (one compile
-    serves every chunk; start index is traced)."""
+    """Device eval_check via the range-file executor (ir_range): the whole
+    4x domain runs as lax.map over chunks inside one jit — a single device
+    dispatch and one compile per po2, no scatters, emadd chains collapsed
+    into batched reductions.  Output stays on device."""
 
-    _runner = None
+    _fns = {}   # po2 -> jitted full-domain runner
     _plan = None
 
     def __init__(self, circuit, chunk=1 << 13):
         self.circuit = circuit
         self.chunk = chunk
         if Rv32imCircuitHal._plan is None:
-            from .. import ir_exec
-            Rv32imCircuitHal._plan = ir_exec.build_plan(circuit)
-            Rv32imCircuitHal._runner = ir_exec.make_plan_runner(
-                Rv32imCircuitHal._plan)
+            from .. import ir_range
+            Rv32imCircuitHal._plan = ir_range.build_range_plan(circuit)
+            circuit.range_plan = Rv32imCircuitHal._plan
 
     def eval_check(self, groups, globals_list, poly_mix, po2):
         import jax.numpy as jnp
 
-        plan, runner = Rv32imCircuitHal._plan, Rv32imCircuitHal._runner
+        from .. import ir_range
+
+        plan = Rv32imCircuitHal._plan
+        fn = Rv32imCircuitHal._fns.get(po2)
+        if fn is None:
+            fn = ir_range.make_eval_check(
+                self.circuit, po2, chunk=self.chunk)
+            Rv32imCircuitHal._fns[po2] = fn
         mix_g, out_g = (np.asarray(g, np.uint32) for g in globals_list)
         accum, _code, data = groups
-        cycles = 1 << po2
-        domain = cycles * 4
-
-        pm_pows = self.circuit.mix_pows(poly_mix)
         gvals = jnp.asarray(np.array(
             [(out_g if b == 2 else mix_g)[i] for b, i in plan.global_specs],
             np.uint32))
-        accum = jnp.asarray(accum)
-        data = jnp.asarray(data)
-        pm_pows = jnp.asarray(pm_pows)
-
-        T = min(self.chunk, domain)
-        tot = np.zeros((domain, 4), np.uint32)
-        for start in range(0, domain, T):
-            tot[start:start + T] = np.asarray(
-                runner(accum, data, gvals, pm_pows, start, T, domain))
-
-        w = F.s_encode(F.ROU_FWD[po2 + 2])
-        kpow = F.s_pow(F.s_encode(3), cycles)
-        wq = F.s_pow(w, cycles)
-        ys, cw = [], F.R % F.P
-        for _ in range(4):
-            ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
-            cw = F.s_mul(cw, wq)
-        invz = np.tile(np.array(ys, np.uint32), domain // 4)
-        return F.mul_np(tot, invz[:, None]).T
+        pm_pows = jnp.asarray(self.circuit.mix_pows(poly_mix))
+        return fn(jnp.asarray(accum), jnp.asarray(data), gvals, pm_pows)
 
 
 def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):

@@ -233,6 +233,93 @@ def fri_fold(planar_coeffs, mix):
 # Merkle hashing
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnames=("zk", "use_pallas"))
+def _commit_pipeline_p2(witness, zk: bool = True, use_pallas: bool = False):
+    """Fused group commit (Poseidon2 suite): iNTT -> zk-shift -> 4x LDE ->
+    leaf hashes -> full Merkle fold tree, all in ONE compiled graph / ONE
+    device dispatch (the per-layer jit dispatches were ~20 compiles per
+    group and dominated wall clock through the axon relay).
+
+    Returns (coeffs_nat, evaluated, layers...) — layers[0] = leaf digests,
+    layers[-1] = (1, 8) root.  Mirrors reference prove/prover.rs:38-48 +
+    prove/merkle.rs:54-80 semantics.
+    """
+    coeffs = ntt.interpolate_ntt(witness)
+    if zk:
+        coeffs = ntt.zk_shift(coeffs)
+    evaluated = ntt.evaluate_ntt(ntt.expand(coeffs, 2), 2)
+    coeffs_nat = ntt.bit_reverse(coeffs)
+    if use_pallas:
+        from .pallas import poseidon2 as pk
+
+        leaves = pk.hash_rows(evaluated)
+    else:
+        leaves = p2._hash_rows_impl(evaluated)
+    layers = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = p2._hash_pairs_impl(cur[0::2], cur[1::2])
+        layers.append(cur)
+    return (coeffs_nat, evaluated) + tuple(layers)
+
+
+def commit_pipeline(witness, suite_name: str = "poseidon2", zk: bool = True):
+    """Fused commit path; falls back to per-op calls for non-device suites.
+
+    Returns (coeffs_nat, evaluated, layers_list).
+    """
+    if suite_name == "poseidon2":
+        rows4 = witness.shape[-1] * 4
+        use_pallas = (p2._use_pallas() and rows4 >= 512 and rows4 % 512 == 0)
+        out = _commit_pipeline_p2(witness, zk=zk, use_pallas=use_pallas)
+        return out[0], out[1], list(out[2:])
+    coeffs = make_coeffs(witness, zk_shift=zk)
+    evaluated = expand_evaluate(coeffs, 2)
+    coeffs_nat = ntt.bit_reverse(coeffs)
+    return coeffs_nat, evaluated, merkle_layers(evaluated, suite_name)
+
+
+@partial(jax.jit, static_argnames=("check_size", "use_pallas"))
+def _check_pipeline_p2(check_poly, check_size: int = 16,
+                       use_pallas: bool = False):
+    """Fused check-group commit: iNTT the (4, domain) check polynomial,
+    reinterpret the bit-reversed coeffs as `check_size` base polys with no
+    data movement (reference prover.rs:159-178), then LDE + Merkle."""
+    cycles = check_poly.shape[-1] * check_poly.shape[0] // check_size
+    coeffs_br = ntt.interpolate_ntt(check_poly).reshape(check_size, cycles)
+    evaluated = ntt.evaluate_ntt(ntt.expand(coeffs_br, 2), 2)
+    coeffs_nat = ntt.bit_reverse(coeffs_br)
+    if use_pallas:
+        from .pallas import poseidon2 as pk
+
+        leaves = pk.hash_rows(evaluated)
+    else:
+        leaves = p2._hash_rows_impl(evaluated)
+    layers = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = p2._hash_pairs_impl(cur[0::2], cur[1::2])
+        layers.append(cur)
+    return (coeffs_nat, evaluated) + tuple(layers)
+
+
+def check_pipeline(check_poly, suite_name: str = "poseidon2",
+                   check_size: int = 16):
+    """Returns (coeffs_nat, evaluated, layers_list) for the check group."""
+    if suite_name == "poseidon2":
+        rows4 = check_poly.shape[-1]
+        use_pallas = (p2._use_pallas() and rows4 >= 512 and rows4 % 512 == 0)
+        out = _check_pipeline_p2(check_poly, check_size=check_size,
+                                 use_pallas=use_pallas)
+        return out[0], out[1], list(out[2:])
+    coeffs = ntt.interpolate_ntt(check_poly)
+    cycles = check_poly.shape[-1] // 4
+    coeffs_br = coeffs.reshape(check_size, cycles)
+    evaluated = expand_evaluate(coeffs_br, 2)
+    coeffs_nat = ntt.bit_reverse(coeffs_br)
+    return coeffs_nat, evaluated, merkle_layers(evaluated, suite_name)
+
+
 def merkle_layers(matrix, suite_name: str = "poseidon2"):
     """Build all Merkle layers for a (cols, rows) matrix.
 

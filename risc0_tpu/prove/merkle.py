@@ -26,12 +26,15 @@ def merkle_params(row_size: int, queries: int):
 class MerkleTreeProver:
     """matrix: (cols, rows) device uint32 (Montgomery); leaf r hashes column r."""
 
-    def __init__(self, matrix, queries: int = 50, suite_name: str = "poseidon2"):
+    def __init__(self, matrix, queries: int = 50, suite_name: str = "poseidon2",
+                 layers=None):
         self.matrix = matrix
         self.cols, self.rows = matrix.shape
         self.num_layers, self.top_size = merkle_params(self.rows, queries)
-        # layers[0] = leaves (rows,8) ... layers[-1] = root (1,8)
-        self.layers = hal.merkle_layers(matrix, suite_name)
+        # layers[0] = leaves (rows,8) ... layers[-1] = root (1,8); may be
+        # precomputed by the fused commit pipeline (hal.commit_pipeline)
+        self.layers = (layers if layers is not None
+                       else hal.merkle_layers(matrix, suite_name))
         self.root = np.asarray(self.layers[-1][0])
 
     def commit(self, iop):

@@ -29,12 +29,30 @@ class PolyGroup:
     coeffs arrive bit-reversed; stored natural-order after LDE + merkle build.
     """
 
-    def __init__(self, coeffs_br, queries: int = QUERIES,
-                 suite_name: str = "poseidon2"):
+    def __init__(self, coeffs_br=None, queries: int = QUERIES,
+                 suite_name: str = "poseidon2", _from_pipeline=None):
+        if _from_pipeline is not None:
+            coeffs_nat, evaluated, layers = _from_pipeline
+            self.count, self.size = coeffs_nat.shape
+            self.evaluated = evaluated
+            self.coeffs = coeffs_nat
+            self.merkle = MerkleTreeProver(
+                evaluated, queries, suite_name, layers=layers)
+            return
         self.count, self.size = coeffs_br.shape
         self.evaluated = hal.expand_evaluate(coeffs_br, 2)  # (count, 4*size)
         self.coeffs = ntt.bit_reverse(coeffs_br)            # natural order
         self.merkle = MerkleTreeProver(self.evaluated, queries, suite_name)
+
+    @staticmethod
+    def commit_witness(witness, queries: int = QUERIES,
+                       suite_name: str = "poseidon2", zk: bool = True):
+        """Build a PolyGroup from a (count, cycles) witness via the fused
+        single-dispatch commit pipeline (iNTT+zk-shift+LDE+Merkle in one
+        jit)."""
+        return PolyGroup(_from_pipeline=hal.commit_pipeline(
+            witness, suite_name, zk=zk), queries=queries,
+            suite_name=suite_name)
 
 
 class Prover:
@@ -57,8 +75,7 @@ class Prover:
         assert size == self.cycles
         assert count == self.taps.group_size(group_id)
         assert self.groups[group_id] is None
-        coeffs = hal.make_coeffs(witness)
-        pg = PolyGroup(coeffs, suite_name=self.suite.name)
+        pg = PolyGroup.commit_witness(witness, suite_name=self.suite.name)
         self.groups[group_id] = pg
         pg.merkle.commit(self.iop)
         return pg
@@ -79,10 +96,12 @@ class Prover:
         assert check_poly.shape == (EXT_SIZE, domain)
 
         # interpolate the 4 planar polys; bit-reversed coeffs reinterpret as
-        # 16 polys of length cycles with no data movement (prover.rs:143-178)
-        check_coeffs = ntt.interpolate_ntt(check_poly)
-        check_group = PolyGroup(check_coeffs.reshape(CHECK_SIZE, self.cycles),
-                                suite_name=self.suite.name)
+        # 16 polys of length cycles with no data movement (prover.rs:143-178);
+        # iNTT + reshape + LDE + Merkle fused in one compiled graph
+        check_group = PolyGroup(
+            _from_pipeline=hal.check_pipeline(
+                check_poly, self.suite.name, CHECK_SIZE),
+            suite_name=self.suite.name)
         check_group.merkle.commit(iop)
 
         # DEEP query point

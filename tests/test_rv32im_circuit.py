@@ -200,3 +200,48 @@ def test_prove_verify_real_segment():
                          rng=np.random.default_rng(1))
     out = verify_rv32im_seal(seal)
     assert len(out) == 90
+
+
+def test_range_eval_check_matches_plan_oracle():
+    """The device range-file executor (ir_range) must agree bit-exactly with
+    the numpy level-plan oracle (ir_exec) — which is itself checked against
+    the scalar poly_ext evaluator above."""
+    from risc0_tpu.circuit import ir_exec, ir_range
+
+    c = load_circuit()
+    po2 = 4
+    cycles = 1 << po2
+    domain = cycles * 4
+    rng = np.random.default_rng(11)
+    accum = rng.integers(0, F.P, (103, domain), dtype=np.uint32)
+    data = rng.integers(0, F.P, (211, domain), dtype=np.uint32)
+    mix_g = rng.integers(0, F.P, (36,), dtype=np.uint32)
+    out_g = rng.integers(0, F.P, (90,), dtype=np.uint32)
+    poly_mix = rng.integers(0, F.P, (4,), dtype=np.uint32)
+    pm = c.mix_pows(poly_mix)
+
+    plan = ir_exec.build_plan(c)
+    gv = np.array([(out_g if b == 2 else mix_g)[i]
+                   for b, i in plan.global_specs], np.uint32)
+    bufs = {0: accum, 1: data}
+    T = 32
+    tot = np.zeros((domain, 4), np.uint32)
+    for start in range(0, domain, T):
+        tapm = ir_exec.build_tap_matrix_np(plan, bufs, start, T, domain)
+        tot[start:start + T] = ir_exec.execute_plan_np(plan, tapm, gv, pm)
+    w = F.s_encode(F.ROU_FWD[po2 + 2])
+    kpow = F.s_pow(F.s_encode(3), cycles)
+    wq = F.s_pow(w, cycles)
+    ys, cw = [], F.R % F.P
+    for _ in range(4):
+        ys.append(F.s_inv(F.s_sub(F.s_mul(kpow, cw), F.R % F.P)))
+        cw = F.s_mul(cw, wq)
+    invz = np.tile(np.array(ys, np.uint32), domain // 4)
+    expected = F.mul_np(tot, invz[:, None]).T
+
+    rp = ir_range.build_range_plan(c)
+    gv_r = np.array([(out_g if b == 2 else mix_g)[i]
+                     for b, i in rp.global_specs], np.uint32)
+    fn = ir_range.make_eval_check(c, po2, chunk=T)
+    got = np.asarray(fn(accum, data, gv_r, pm))
+    assert np.array_equal(got, expected)
