@@ -381,12 +381,20 @@ def _run_chunk(plan, fp0, ext0, tapm, gvals, pm_pows, T):
     return ext[plan.ret_row]
 
 
+def plan_buf_ids(plan) -> list:
+    """Sorted buffer ids referenced by the plan's taps.  build_range_plan
+    orders tap rows by buffer id, so per-buffer gathers concatenated in this
+    order reproduce the tap-matrix layout."""
+    return sorted({int(s[0]) for s in plan.tap_specs})
+
+
 def make_eval_check(circuit, po2: int, chunk: int = 2048):
     """Build the jitted full-domain eval_check for one po2.
 
-    Returns fn(accum_ev, data_ev, out_globals, mix_globals, pm_pows) ->
-    (4, domain) check polynomial (zeros-poly division included), matching
-    the semantics of Rv32imCircuitHal.eval_check.  One dispatch, one compile.
+    Returns fn(evs, gvals, pm_pows) -> (4, domain) check polynomial
+    (zeros-poly division included), where `evs` is a tuple of evaluated
+    (cols, domain) group buffers in `plan_buf_ids(plan)` order.  One device
+    dispatch, one compile per po2.
     """
     import jax
     import jax.numpy as jnp
@@ -405,14 +413,11 @@ def make_eval_check(circuit, po2: int, chunk: int = 2048):
     n_chunks = domain // T
 
     specs = np.array(plan.tap_specs, np.int64)  # (n, 3): buf, col, back
-    a_mask = specs[:, 0] == 0
-    a_pos = np.nonzero(a_mask)[0]
-    d_pos = np.nonzero(~a_mask)[0]
-    a_cols = specs[a_mask, 1]
-    a_backs = specs[a_mask, 2]
-    d_cols = specs[~a_mask, 1]
-    d_backs = specs[~a_mask, 2]
-    n_taps = len(specs)
+    buf_ids = plan_buf_ids(plan)
+    per_buf = []  # [(cols, backs)] in buf_ids order
+    for b in buf_ids:
+        mask = specs[:, 0] == b
+        per_buf.append((specs[mask, 1], specs[mask, 2]))
 
     # zeros-poly inverse: 1 / ((3x)^cycles - 1) over the shifted domain;
     # pattern repeats with period 4 (reference hal/cpu.rs:192-197)
@@ -429,7 +434,7 @@ def make_eval_check(circuit, po2: int, chunk: int = 2048):
     nc = len(plan.const_vals)
 
     @jax.jit
-    def run(accum_ev, data_ev, gvals, pm_pows):
+    def run(evs, gvals, pm_pows):
         fp0 = jnp.zeros((nf, T), jnp.uint32)
         fp0 = jax.lax.dynamic_update_slice(
             fp0, jnp.broadcast_to(jnp.asarray(plan.const_vals)[:, None],
@@ -444,14 +449,14 @@ def make_eval_check(circuit, po2: int, chunk: int = 2048):
         ar = jnp.arange(T, dtype=jnp.int32)
 
         def one_chunk(start):
-            # tap_specs are ordered [accum taps][data taps] (build_range_plan)
-            ia = (start - 4 * jnp.asarray(a_backs)[:, None]
-                  + ar[None, :]) % domain
-            a_rows = accum_ev[jnp.asarray(a_cols)[:, None], ia]
-            idx = (start - 4 * jnp.asarray(d_backs)[:, None]
-                   + ar[None, :]) % domain
-            d_rows = data_ev[jnp.asarray(d_cols)[:, None], idx]
-            tapm = jnp.concatenate([a_rows, d_rows], axis=0)
+            # tap_specs are ordered by buffer id (build_range_plan), so
+            # per-buffer gathers concatenate into the tap-matrix layout
+            rows = []
+            for ev, (cols, backs) in zip(evs, per_buf):
+                idx = (start - 4 * jnp.asarray(backs)[:, None]
+                       + ar[None, :]) % domain
+                rows.append(ev[jnp.asarray(cols)[:, None], idx])
+            tapm = jnp.concatenate(rows, axis=0)
             return _run_chunk(plan, fp0, ext0, tapm, gvals, pm_pows, T)
 
         starts = jnp.arange(n_chunks, dtype=jnp.int32) * T

@@ -202,6 +202,46 @@ def _loc(msg, meta):
     return msg
 
 
+class _RecRangeHal:
+    """Device eval_check for the recursion circuit via the range-file
+    executor (circuit/ir_range.py): whole 4x domain in one jitted dispatch.
+    Conformance: tests/test_recursion_circuit.py checks it against the numpy
+    plan oracle (_RecPlanHal)."""
+
+    _fns = {}   # po2 -> jitted runner
+    _plan = None
+
+    def __init__(self, circuit, chunk=1 << 13):
+        self.circuit = circuit
+        self.chunk = chunk
+        if _RecRangeHal._plan is None:
+            from .. import ir_range
+            _RecRangeHal._plan = ir_range.build_range_plan(circuit)
+            circuit.range_plan = _RecRangeHal._plan
+
+    def eval_check(self, groups, globals_list, poly_mix, po2):
+        import jax.numpy as jnp
+
+        from .. import ir_range
+
+        plan = _RecRangeHal._plan
+        self.circuit.range_plan = plan
+        fn = _RecRangeHal._fns.get(po2)
+        if fn is None:
+            fn = ir_range.make_eval_check(self.circuit, po2, chunk=self.chunk)
+            _RecRangeHal._fns[po2] = fn
+        mix_g, out_g = (np.asarray(g, np.uint32) for g in globals_list)
+        accum, code, data = groups
+        bufmap = {0: accum, 1: data, 4: code}
+        evs = tuple(jnp.asarray(bufmap[b])
+                    for b in ir_range.plan_buf_ids(plan))
+        gvals = jnp.asarray(np.array(
+            [(out_g if b == 2 else mix_g)[i] for b, i in plan.global_specs],
+            np.uint32))
+        pm_pows = jnp.asarray(self.circuit.mix_pows(poly_mix))
+        return fn(evs, gvals, pm_pows)
+
+
 class _RecPlanHal:
     """Plan-based eval_check for the recursion circuit (shares ir_exec)."""
 
@@ -246,7 +286,7 @@ class _RecPlanHal:
 
 
 def prove_program(program: Program, input_words, suite=None, rng=None,
-                  n_threads=0):
+                  n_threads=0, use_jit=True):
     """Run + prove a recursion program; returns (seal, output words)."""
     import jax.numpy as jnp
 
@@ -286,7 +326,8 @@ def prove_program(program: Program, input_words, suite=None, rng=None,
     prover.commit_group(REGISTER_GROUP_ACCUM,
                         jnp.asarray(F.encode_np(accum)))
 
-    seal = prover.finalize([mix_m, global_m], _RecPlanHal(circuit))
+    hal_obj = _RecRangeHal(circuit) if use_jit else _RecPlanHal(circuit)
+    seal = prover.finalize([mix_m, global_m], hal_obj)
     return seal, list(pf.output)
 
 
@@ -352,19 +393,24 @@ def read_sha_halfs(shorts):
 
 
 def prove_zkr(program: Program, control_id, allowed_control_ids,
-              input_words, **kw):
-    """Prove a recursion program and wrap as a succinct receipt
-    (reference host/recursion/prove/mod.rs:393-440)."""
-    seal, output = prove_program(program, input_words, **kw)
+              input_words, claim=None, **kw):
+    """Prove a recursion program and wrap as a SuccinctReceipt
+    (reference host/recursion/prove/mod.rs:393-440).  `claim` defaults to the
+    pruned claim digest decoded from the seal output."""
+    from ...zkvm.claims import MaybePruned
+    from ...zkvm.receipt import SuccinctReceipt
+
+    seal, _output = prove_program(program, input_words, **kw)
     seal_vals = F.decode_np(np.asarray(seal[:32], np.uint32))
     claim_digest = read_sha_halfs(seal_vals[16:32])
+    if claim is None:
+        claim = MaybePruned.from_digest(claim_digest)
     group = MerkleGroup(allowed_control_ids)
-    return {
-        "seal": np.asarray(seal, np.uint32),
-        "control_id": np.asarray(control_id, np.uint32),
-        "control_root": group.calc_root(),
-        "control_inclusion_proof": group.get_proof(control_id),
-        "claim_digest": claim_digest,
-        "output": output,
-        "hashfn": "poseidon2",
-    }
+    return SuccinctReceipt(
+        seal=np.asarray(seal, np.uint32),
+        control_id=np.asarray(control_id, np.uint32),
+        claim=claim,
+        control_root=group.calc_root(),
+        control_inclusion_proof=group.get_proof(control_id),
+        hashfn="poseidon2",
+    )

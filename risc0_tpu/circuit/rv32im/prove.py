@@ -50,12 +50,14 @@ class Rv32imCircuitHal:
                 self.circuit, po2, chunk=self.chunk)
             Rv32imCircuitHal._fns[po2] = fn
         mix_g, out_g = (np.asarray(g, np.uint32) for g in globals_list)
-        accum, _code, data = groups
+        accum, code, data = groups
+        bufmap = {0: accum, 1: data, 4: code}
+        evs = tuple(jnp.asarray(bufmap[b]) for b in ir_range.plan_buf_ids(plan))
         gvals = jnp.asarray(np.array(
             [(out_g if b == 2 else mix_g)[i] for b, i in plan.global_specs],
             np.uint32))
         pm_pows = jnp.asarray(self.circuit.mix_pows(poly_mix))
-        return fn(jnp.asarray(accum), jnp.asarray(data), gvals, pm_pows)
+        return fn(evs, gvals, pm_pows)
 
 
 def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
@@ -68,7 +70,9 @@ def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
     if rand_z is None:
         rand_z = tuple(int(x) for x in rng.integers(0, F.P, 4))
 
-    res = witgen_exec(seg, rand_z=rand_z)
+    from ... import perf
+    with perf.scope("witgen_exec"):
+        res = witgen_exec(seg, rand_z=rand_z)
     po2 = int(np.log2(res["rows"]))
     assert (1 << po2) == res["rows"]
     cycles = res["rows"]
@@ -96,7 +100,8 @@ def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
 
     mix_m = np.array([iop.random_elem() for _ in range(REGCOUNT_MIX)],
                      np.uint32)
-    accum = witgen_accum(res, F.decode_np(mix_m))
+    with perf.scope("witgen_accum"):
+        accum = witgen_accum(res, F.decode_np(mix_m))
     prover.commit_group(REGISTER_GROUP_ACCUM,
                         jnp.asarray(F.encode_np(accum)))
 

@@ -11,6 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .. import field as F
+from .. import perf
 from ..core import ntt, poly
 from ..hal import jnp_hal as hal
 from .fri import fri_prove
@@ -75,9 +76,10 @@ class Prover:
         assert size == self.cycles
         assert count == self.taps.group_size(group_id)
         assert self.groups[group_id] is None
-        pg = PolyGroup.commit_witness(witness, suite_name=self.suite.name)
-        self.groups[group_id] = pg
-        pg.merkle.commit(self.iop)
+        with perf.scope(f"commit_group.{group_id}"):
+            pg = PolyGroup.commit_witness(witness, suite_name=self.suite.name)
+            self.groups[group_id] = pg
+            pg.merkle.commit(self.iop)   # root readback syncs the pipeline
         return pg
 
     def finalize(self, globals_list, circuit_hal):
@@ -89,26 +91,29 @@ class Prover:
         poly_mix = iop.random_ext_elem()
         domain = self.cycles * INV_RATE
 
-        check_poly = circuit_hal.eval_check(
-            [pg.evaluated for pg in self.groups], globals_list,
-            poly_mix, self.po2,
-        )
-        assert check_poly.shape == (EXT_SIZE, domain)
+        with perf.scope("eval_check"):
+            check_poly = circuit_hal.eval_check(
+                [pg.evaluated for pg in self.groups], globals_list,
+                poly_mix, self.po2,
+            )
+            assert check_poly.shape == (EXT_SIZE, domain)
 
         # interpolate the 4 planar polys; bit-reversed coeffs reinterpret as
         # 16 polys of length cycles with no data movement (prover.rs:143-178);
         # iNTT + reshape + LDE + Merkle fused in one compiled graph
-        check_group = PolyGroup(
-            _from_pipeline=hal.check_pipeline(
-                check_poly, self.suite.name, CHECK_SIZE),
-            suite_name=self.suite.name)
-        check_group.merkle.commit(iop)
+        with perf.scope("check_commit"):
+            check_group = PolyGroup(
+                _from_pipeline=hal.check_pipeline(
+                    check_poly, self.suite.name, CHECK_SIZE),
+                suite_name=self.suite.name)
+            check_group.merkle.commit(iop)
 
         # DEEP query point
         z = iop.random_ext_elem()  # (4,) host
         back_one = F.s_encode(F.ROU_REV[self.po2])
 
         # Evaluate taps at z * back_one^back, group order accum/code/data
+        perf_tap = perf.scope("tap_eval"); perf_tap.__enter__()
         all_xs = []
         eval_u = []
         for gid in range(taps.num_groups):
@@ -145,9 +150,11 @@ class Prover:
         coeff_u = np.stack(coeff_u)  # (num_taps + CHECK_SIZE, 4)
         iop.write_field_elems(coeff_u)
         iop.commit(self.suite.hash_elem_slice(coeff_u.ravel()))
+        perf_tap.__exit__(None, None, None)
 
         # FRI batching mix
         mix = iop.random_ext_elem()
+        perf_cmb = perf.scope("combos"); perf_cmb.__enter__()
 
         combo_count = taps.combos_size
         combos = jnp.zeros((combo_count + 1, self.cycles, 4), jnp.uint32)
@@ -209,6 +216,7 @@ class Prover:
         # sum combos into the final FRI polynomial, planar + bit-reversed
         final_coeffs = hal.eltwise_sum_extelem(combos)  # (4, cycles)
         final_coeffs = ntt.bit_reverse(final_coeffs)
+        perf_cmb.__exit__(None, None, None)
 
         def inner(positions):
             prefetched = [pg.merkle.prefetch(positions) for pg in self.groups]
@@ -220,7 +228,8 @@ class Prover:
 
             return write
 
-        fri_prove(iop, final_coeffs, inner)
+        with perf.scope("fri_prove"):
+            fri_prove(iop, final_coeffs, inner)
 
         from . import soundness
         self.soundness = {

@@ -36,6 +36,11 @@ class VerifierContext:
     hashfn: str = "poseidon2"
     max_po2: int = DEFAULT_MAX_PO2
     dev_mode: bool = field(default_factory=is_dev_mode)
+    # Succinct verifier parameters (reference receipt/succinct.rs:229-260):
+    # the allowed-control-IDs Merkle root, and the root the recursion program
+    # itself is expected to commit in its output (defaults to control_root).
+    control_root: np.ndarray | None = None
+    inner_control_root: np.ndarray | None = None
 
 
 @dataclass
@@ -112,17 +117,81 @@ class CompositeReceipt:
             ar.verify_integrity(ctx)
 
 
+def verify_control_inclusion(proof, control_id, root, suite) -> bool:
+    """Check a MerkleProof {index, digests} roots `control_id` into `root`
+    (reference zkvm/src/receipt/merkle.rs:73-103)."""
+    cur = np.asarray(control_id, np.uint32)
+    idx = int(proof["index"])
+    for sib in proof["digests"]:
+        sib = np.asarray(sib, np.uint32)
+        cur = suite.hash_pair(sib, cur) if idx & 1 else suite.hash_pair(cur, sib)
+        idx >>= 1
+    return idx == 0 and np.array_equal(cur, np.asarray(root, np.uint32))
+
+
 @dataclass
 class SuccinctReceipt:
-    """Recursion-compressed receipt (reference receipt/succinct.rs)."""
+    """Recursion-compressed receipt (reference receipt/succinct.rs:37-88).
+
+    `claim` may be a ReceiptClaim or a MaybePruned digest; only its digest is
+    checked against the seal output.  `control_inclusion_proof` is the Merkle
+    path of `control_id` into the allowed-control-IDs set root."""
 
     seal: np.ndarray
     control_id: np.ndarray
-    claim: ReceiptClaim
+    claim: object
+    control_root: np.ndarray
+    control_inclusion_proof: dict
     hashfn: str = "poseidon2"
 
     def verify_integrity(self, ctx: VerifierContext):
-        raise VerificationError("recursion circuit verification not yet wired")
+        """reference receipt/succinct.rs:103-190: verify the recursion-circuit
+        STARK (with the control-ID inclusion check as check_code), then decode
+        the output globals: [0:16] the Poseidon2 control root at even slots,
+        [16:32] the claim digest as SHA halfs."""
+        from .. import field as F
+        from ..circuit.recursion.circuit import verify_recursion_seal
+        from ..circuit.recursion.prove import read_sha_halfs
+        from ..hash.suite import get_suite
+        from ..verify.verifier import VerificationError as ZkpError
+
+        if self.hashfn != ctx.hashfn:
+            raise VerificationError(
+                f"hashfn mismatch: seal {self.hashfn}, ctx {ctx.hashfn}")
+        suite = get_suite(self.hashfn)
+        params_root = (ctx.control_root if ctx.control_root is not None
+                       else self.control_root)
+
+        def check_code(_po2, code_root):
+            if not np.array_equal(np.asarray(code_root, np.uint32),
+                                  np.asarray(self.control_id, np.uint32)):
+                raise ZkpError("seal code root != receipt control_id")
+            if not verify_control_inclusion(
+                    self.control_inclusion_proof, self.control_id,
+                    params_root, suite):
+                raise ZkpError("control-ID inclusion proof invalid")
+
+        try:
+            verify_recursion_seal(self.seal, check_code)
+        except ZkpError as e:
+            raise VerificationError(f"recursion seal invalid: {e}") from e
+
+        out = F.decode_np(np.asarray(self.seal[:32], np.uint32))
+        decoded_root = np.asarray(out[0:16:2], np.uint32)
+        expect_inner = (ctx.inner_control_root
+                        if ctx.inner_control_root is not None else params_root)
+        if not np.array_equal(decoded_root,
+                              np.asarray(expect_inner, np.uint32)):
+            raise VerificationError(
+                "seal output control root does not match expected "
+                "inner control root")
+        claim_digest = read_sha_halfs(out[16:32])
+        if not np.array_equal(claim_digest, self.claim.digest()):
+            raise VerificationError(
+                "seal output claim digest does not match receipt claim")
+
+    def claim_digest(self) -> np.ndarray:
+        return self.claim.digest()
 
 
 @dataclass

@@ -104,6 +104,75 @@ def test_recursion_preflight_micro_ops():
     assert pf.wom[6] == (2, 0, 0, 0)
 
 
+def test_recursion_range_eval_check_matches_plan_oracle():
+    """The device range-file eval_check for the recursion circuit must agree
+    bit-exactly with the numpy level-plan oracle (which is conformance-tested
+    against the scalar poly_ext evaluator)."""
+    from risc0_tpu.circuit.recursion.circuit import load_prover_circuit
+    from risc0_tpu.circuit.recursion.prove import _RecPlanHal, _RecRangeHal
+
+    c = load_prover_circuit()
+    po2 = 4
+    domain = (1 << po2) * 4
+    rng = np.random.default_rng(5)
+    accum = rng.integers(0, F.P, (12, domain), dtype=np.uint32)
+    code = rng.integers(0, F.P, (23, domain), dtype=np.uint32)
+    data = rng.integers(0, F.P, (128, domain), dtype=np.uint32)
+    mix_g = rng.integers(0, F.P, (20,), dtype=np.uint32)
+    out_g = rng.integers(0, F.P, (32,), dtype=np.uint32)
+    poly_mix = rng.integers(0, F.P, (4,), dtype=np.uint32)
+
+    ref = _RecPlanHal(c).eval_check(
+        [accum, code, data], [mix_g, out_g], poly_mix, po2)
+    got = np.asarray(_RecRangeHal(c, chunk=32).eval_check(
+        [accum, code, data], [mix_g, out_g], poly_mix, po2))
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.skipif(not os.environ.get("RISC0_TPU_SLOW_TESTS"),
+                    reason="full recursion prove at po2=18 (slow on CPU)")
+def test_recursion_prove_verify_succinct_receipt():
+    """VERDICT r1 item 4: keccak seal -> recursion seal (prove_program over
+    the released keccak_lift_14 zkr) -> verified SuccinctReceipt, including
+    the recursion STARK verify, control-ID inclusion, and output claim
+    digest decode (reference receipt/succinct.rs:103-190)."""
+    from risc0_tpu.circuit.keccak import prove_keccak
+    from risc0_tpu.circuit.keccak.verify import (keccak_digest_from_globals,
+                                                 verify_keccak_seal)
+    from risc0_tpu.circuit.recursion.prove import (load_keccak_lift,
+                                                   prove_zkr)
+    from risc0_tpu.zkvm.receipt import VerifierContext
+
+    rng = np.random.default_rng(4)
+    inputs = [[int(x) for x in rng.integers(0, 1 << 64, 25,
+                                            dtype=np.uint64)]]
+    seal = prove_keccak(inputs, 14)
+    out = verify_keccak_seal(seal)
+    claim = keccak_digest_from_globals(out, montgomery=True)
+    inp = [0] * 8 + [int(x) for x in seal]
+    for w in claim:
+        inp.extend([int(w) & 0xFFFF, int(w) >> 16])
+    inp.append(1 << 14)
+
+    prog = load_keccak_lift(14)
+    control_id = prog.control_id()
+    receipt = prove_zkr(prog, control_id, [control_id], inp,
+                        rng=np.random.default_rng(8))
+    # the lift program echoes the inner control root it was given (zeros)
+    ctx = VerifierContext(control_root=receipt.control_root,
+                          inner_control_root=np.zeros(8, np.uint32))
+    receipt.verify_integrity(ctx)
+
+    # tamper: flip a seal word -> must fail
+    from risc0_tpu.zkvm.receipt import VerificationError as RErr
+    bad = receipt.seal.copy()
+    bad[40] ^= 1
+    import dataclasses
+    broken = dataclasses.replace(receipt, seal=bad)
+    with pytest.raises(RErr):
+        broken.verify_integrity(ctx)
+
+
 @pytest.mark.skipif(not os.environ.get("RISC0_TPU_SLOW_TESTS"),
                     reason="runs the full released lift program (~5 min)")
 def test_official_keccak_lift_accepts_our_seal():

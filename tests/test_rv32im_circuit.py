@@ -243,5 +243,6 @@ def test_range_eval_check_matches_plan_oracle():
     gv_r = np.array([(out_g if b == 2 else mix_g)[i]
                      for b, i in rp.global_specs], np.uint32)
     fn = ir_range.make_eval_check(c, po2, chunk=T)
-    got = np.asarray(fn(accum, data, gv_r, pm))
+    assert ir_range.plan_buf_ids(rp) == [0, 1]
+    got = np.asarray(fn((accum, data), gv_r, pm))
     assert np.array_equal(got, expected)
