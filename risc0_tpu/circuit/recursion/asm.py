@@ -238,6 +238,36 @@ class Asm:
         self.next_addr += 8
         return base
 
+    # ---- sha-256 ------------------------------------------------------------
+
+    def sha256(self, words):
+        """SHA-256 over a whole number of 16-word blocks.
+
+        `words` are WOM addrs whose (component0, component1) hold the
+        (lo16, hi16) halves of each little-endian u32 message word — the
+        same format sha_fini emits, so digests chain directly into outer
+        hashes.  Padding must be included by the caller (static lengths).
+        Returns the 8 consecutive digest cells of the LAST block's fini.
+        """
+        assert len(words) % 16 == 0 and words
+        self._flush()
+        for _ in range(4):
+            self._macro("sha_init")
+        out_base = None
+        n_blocks = len(words) // 16
+        for b in range(n_blocks):
+            for w in words[16 * b: 16 * b + 16]:
+                self._macro("sha_load", w, 0, 1)
+            for _ in range(48):
+                self._macro("sha_mix")
+            # fini writes the (byteswapped) state to args[0]-3 .. +4;
+            # reference zirgen emits 4 fini rows with descending out addr
+            out_base = self.next_addr
+            self.next_addr += 8
+            for i in range(4):
+                self._macro("sha_fini", out_base + 3 - i)
+        return list(range(out_base, out_base + 8))
+
     # ---- checked bytes ------------------------------------------------------
 
     def checked_bytes(self, eval_pt_addr, keep_coeffs, keep_upper,

@@ -21,7 +21,6 @@ from __future__ import annotations
 import numpy as np
 
 from ... import field as F
-from ...core import poly as hostpoly
 from ...prove.merkle import merkle_params
 from ...verify.verifier import (CHECK_SIZE, EXT_SIZE, FRI_FOLD,
                                 FRI_MIN_DEGREE, INV_RATE, PROOF_SYSTEM_INFO,
@@ -322,19 +321,6 @@ class CircuitSpec:
         self.version_word = version_word
 
 
-def _intt16_basis():
-    """B[j][i]: coefficient matrix of verify._ext_intt16 (abstract values):
-    coeffs[j] = sum_i B[j,i] * data[i]."""
-    from ...verify.verifier import _ext_intt16
-    cols = []
-    for i in range(16):
-        e = np.zeros((16, 4), np.uint32)
-        e[i, 0] = F.R % P  # Montgomery ONE
-        cols.append(_ext_intt16(e)[:, 0])  # base-field matrix
-    B = np.stack(cols, axis=1)  # (j, i) Montgomery
-    return [[_std(B[j, i]) for i in range(16)] for j in range(16)]
-
-
 def gen_verify(gen: Gen, spec: CircuitSpec, po2: int):
     """Emit the full STARK verify of one seal read from the input tape.
     Returns (out_cells, mix_cells): the circuit output globals and the
@@ -446,7 +432,6 @@ def gen_verify(gen: Gen, spec: CircuitSpec, po2: int):
     final_ext = [gen.combine4(*[fc_cells[c * deg + i] for c in range(4)])
                  for i in range(deg)]
     gen_final_std = int(F.ROU_FWD[dom.bit_length() - 1])
-    B = _intt16_basis()
 
     nbits = domain.bit_length() - 1
     for _q in range(QUERIES):
@@ -469,14 +454,16 @@ def gen_verify(gen: Gen, spec: CircuitSpec, po2: int):
             cur_dom //= FRI_FOLD
             k = cur_dom.bit_length() - 1
             group_bits = bits[:k]
-            group_strips = strips[:k + 1]
             qb = bits[k:k + 4]   # quot = pos >> k, 4 bits
             quot = a.add(a.add(qb[0], a.mul(qb[1], a.const(2))),
                          a.add(a.mul(qb[2], a.const(4)),
                                a.mul(qb[3], a.const(8))))
             group = a.bit_and_elem(pos, a.const(cur_dom - 1))
+            # strips must be of the MASKED group, not the full pos (the
+            # final top-layer select indexes with group >> levels)
+            group_strips = _pos_strips(gen, group, group_bits)
             goal = rnd.verify_query(gen, group, group_bits, group_strips,
-                                    quot, goal, B)
+                                    quot, goal)
             pos = group
             strips = group_strips
             bits = group_bits
@@ -511,7 +498,7 @@ class _FriRound:
         self.mix = gen.rng.ext_elem()
 
     def verify_query(self, gen: Gen, group, group_bits, group_strips, quot,
-                     goal, B):
+                     goal):
         a = gen.a
         data = self.merkle.verify(group_bits, group_strips)
         d = data[0]
@@ -525,24 +512,23 @@ class _FriRound:
         inv_wk = gen.pow_bits(
             int(F.ROU_REV[root_po2]), group_bits)
         x = a.mul(self.mix, inv_wk)
-        # new_goal = sum_i data_ext[i] * g_i(x), g_i = sum_j B[j][i] x^j
-        xp = [a.const(1)]
-        for _ in range(15):
-            xp.append(a.mul(xp[-1], x))
-        new_goal = None
+        # new_goal = poly_eval(intt16(data_ext), x), via the barycentric
+        # form p(x) = (x^16-1)/16 * sum_i d_i w^i/(x - w^i)  (w = 16th root;
+        # verified against verify/_ext_intt16 on host).  x lands on a root
+        # only with negligible probability (INV(0)=0 would then fail the EQ).
+        w = int(F.ROU_FWD[4])
+        x16 = gen.pow_sq(x, 4)
+        front = a.mul(a.sub(x16, a.const(1)),
+                      a.const(pow(16, P - 2, P)))
+        tot = None
         for i in range(16):
-            gi = None
-            for j in range(16):
-                c = B[j][i]
-                if c == 0:
-                    continue
-                term = a.mul(xp[j], a.const(c))
-                gi = term if gi is None else a.add(gi, term)
+            wi = pow(w, i, P)
             ei = gen.combine4(d + 0 * 16 + i, d + 1 * 16 + i,
                               d + 2 * 16 + i, d + 3 * 16 + i)
-            term = a.mul(ei, gi)
-            new_goal = term if new_goal is None else a.add(new_goal, term)
-        return new_goal
+            term = a.mul(ei, a.mul(a.const(wi),
+                                   a.inv(a.sub(x, a.const(wi)))))
+            tot = term if tot is None else a.add(tot, term)
+        return a.mul(front, tot)
 
 
 def _fri_eval_taps(gen: Gen, taps, combo_u, check_row, back_one, gen_std,

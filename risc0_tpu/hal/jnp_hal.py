@@ -136,6 +136,109 @@ def _mix_poly_coeffs(combos, mix_pows, input_coeffs, which, combo_count: int):
     return F.add(combos, jnp.stack(updates))
 
 
+def evaluate_tap_groups(coeffs_groups, group_ids, cols, backs, xs_distinct,
+                        back_idx, chunk: int = 4096):
+    """All tap evaluations in ONE jitted dispatch: out[t] =
+    P_{group_ids[t], cols[t]}(xs_distinct[back_idx[t]]).
+
+    coeffs_groups: list of (count_g, n) natural-order coeff arrays (device);
+    group_ids/cols/back_idx: host int arrays (num_taps,); xs_distinct:
+    (nb, 4) ext points.  Replaces per-group `batch_evaluate_any` calls (the
+    r2 tap_eval hotspot: 3 dispatches + a 200MB row-duplicating gather).
+
+    Chunked over the coefficient axis: per chunk, build the powers block
+    x^(i0..i0+T) for the nb distinct points (log-doubled base powers times a
+    scanned carry), gather per-tap rows, multiply and tree-reduce mod P.
+    """
+    import jax
+
+    n = coeffs_groups[0].shape[-1]
+    offs = np.cumsum([0] + [g.shape[0] for g in coeffs_groups])
+    col_g = tuple(int(c) + int(offs[g]) for g, c in zip(group_ids, cols))
+    C = jnp.concatenate([jnp.asarray(g) for g in coeffs_groups], axis=0)
+    return _evaluate_tap_groups(
+        C, col_g, tuple(int(b) for b in back_idx),
+        jnp.asarray(np.asarray(xs_distinct, np.uint32)),
+        min(chunk, n))
+
+
+_MONT_2_16 = (65536 * F.R) % F.P
+
+
+def _sum_mod_p(terms, axis):
+    """Bit-exact field sum along axis (u32-only): 16-bit halves summed
+    separately (k < 2^15 terms keeps partials < 2^31), recombined mod P."""
+    assert terms.shape[axis] < (1 << 15)
+    lo = jnp.sum(terms & jnp.uint32(0xFFFF), axis=axis) % jnp.uint32(F.P)
+    hi = jnp.sum(terms >> jnp.uint32(16), axis=axis) % jnp.uint32(F.P)
+    return F.add(lo, F.mul(hi, jnp.uint32(_MONT_2_16)))
+
+
+@partial(jax.jit, static_argnames=("col_g", "back_idx", "chunk"))
+def _evaluate_tap_groups(C, col_g, back_idx, xs, chunk):
+    n = C.shape[-1]
+    T = chunk
+    nch = n // T
+    cols = jnp.asarray(np.asarray(col_g, np.int32))
+    bidx = np.asarray(back_idx, np.int32)
+    XPb = _ext_powers(xs, T)                      # (nb, T, 4)
+    xT = _ext_powers(xs, T + 1)[:, T]             # (nb, 4)
+
+    def body(carry, i0):
+        cur = carry                               # (nb, 4) = xs^(i0)
+        Cc = jax.lax.dynamic_slice(C, (0, i0), (C.shape[0], T))[cols]
+        XP = F.ext_mul(cur[:, None, :], XPb)      # (nb, T, 4)
+        XPt = XP[jnp.asarray(bidx)]               # (k, T, 4)
+        terms = F.mul(XPt, Cc[:, :, None])        # (k, T, 4)
+        part = _sum_mod_p(terms, axis=1)          # (k, 4)
+        return F.ext_mul(cur, xT), part
+
+    ones = jnp.zeros_like(xs).at[:, 0].set(F.MONT_ONE)
+    _, parts = jax.lax.scan(
+        body, ones, jnp.arange(nch, dtype=jnp.int32) * T)
+    return _sum_mod_p(parts, axis=0)              # (k, 4)
+
+
+def _poly_divide_rows(p, zs):
+    """Row-batched synthetic division: row i of p (m, n, 4) divided by
+    (x - zs[i]); zs (m, 4), all nonzero.  Same prefix-sum formulation as
+    poly_divide_ext."""
+    m, n, _ = p.shape
+    zpow = _ext_powers(zs, n)                       # (m, n, 4)
+    pz = F.ext_mul(p, zpow)
+    s = jax.lax.associative_scan(F.add, pz[:, ::-1], axis=1)[:, ::-1]
+    remainder = s[:, 0]
+    s_next = jnp.concatenate(
+        [s[:, 1:], jnp.zeros((m, 1, 4), jnp.uint32)], axis=1)
+    zinv = ext_inv_device(zs)                       # (m, 4)
+    zinv_pows = F.ext_mul(_ext_powers(zinv, n), zinv[:, None, :])
+    return F.ext_mul(s_next, zinv_pows), remainder
+
+
+@jax.jit
+def combos_divide(combos, zs_levels, active_levels, z_check):
+    """Divide every combo row by its sequence of (x - z_cb) factors and the
+    check row by (x - z^4), in ONE dispatch (replaces the r2 per-divide
+    host loop with its per-call remainder readbacks).
+
+    combos: (m, n, 4); zs_levels: (L, m, 4) per-level divisor points (1 for
+    inactive); active_levels: (L, m) bool.  Returns (combos', rems) where
+    rems stacks all (forced-zero-if-inactive) remainders for one host check.
+    """
+    def level(cur, zs_act):
+        zs, act = zs_act
+        q, rem = _poly_divide_rows(cur, zs)
+        cur = jnp.where(act[:, None, None], q, cur)
+        rem = jnp.where(act[:, None], rem, 0)
+        return cur, rem
+
+    combos, rems = jax.lax.scan(level, combos, (zs_levels, active_levels))
+    qc, remc = _poly_divide_rows(
+        combos[-1:], jnp.broadcast_to(z_check, (1, 4)))
+    combos = combos.at[-1].set(qc[0])
+    return combos, jnp.concatenate([rems.reshape(-1, 4), remc], axis=0)
+
+
 @jax.jit
 def poly_divide_ext(p, z):
     """Synthetic division of each row by (x - z); p: (m, n, 4) natural coeffs.

@@ -112,23 +112,24 @@ class Prover:
         z = iop.random_ext_elem()  # (4,) host
         back_one = F.s_encode(F.ROU_REV[self.po2])
 
-        # Evaluate taps at z * back_one^back, group order accum/code/data
+        # Evaluate taps at z * back_one^back, group order accum/code/data —
+        # ONE fused device dispatch over all groups (hal.evaluate_tap_groups)
         perf_tap = perf.scope("tap_eval"); perf_tap.__enter__()
         all_xs = []
-        eval_u = []
+        group_ids, cols, backs = [], [], []
         for gid in range(taps.num_groups):
-            pg = self.groups[gid]
-            which, xs = [], []
             for offset, back in taps.group_taps(gid):
-                which.append(offset)
-                x = F.ext_mul_np(_base_pow_ext(back_one, back), z)
-                xs.append(x)
-                all_xs.append(x)
-            if not which:
-                continue
-            out = np.asarray(hal.batch_evaluate_any(
-                pg.coeffs, np.asarray(which), jnp.asarray(np.stack(xs))))
-            eval_u.extend(out)
+                group_ids.append(gid)
+                cols.append(offset)
+                backs.append(back)
+                all_xs.append(F.ext_mul_np(_base_pow_ext(back_one, back), z))
+        ub = sorted(set(backs))
+        xs_distinct = np.stack(
+            [F.ext_mul_np(_base_pow_ext(back_one, b), z) for b in ub])
+        back_idx = [ub.index(b) for b in backs]
+        eval_u = list(np.asarray(hal.evaluate_tap_groups(
+            [self.groups[g].coeffs for g in range(taps.num_groups)],
+            group_ids, cols, backs, xs_distinct, back_idx)))
 
         # interpolate each register's taps to coefficients
         coeff_u = []
@@ -202,16 +203,21 @@ class Prover:
             cur = F.ext_mul_np(cur, mix)
         combos = jnp.asarray(combos_np)
 
-        # combos_divide: exact division by each (x - z*back_one^back)
+        # combos_divide: exact division by each (x - z*back_one^back), all
+        # combos per level batched into one device dispatch + one readback
+        n_levels = max(len(b) for b in taps.combos)
+        m = combo_count + 1
+        zs_levels = np.zeros((n_levels, m, 4), np.uint32)
+        zs_levels[:, :, 0] = F.R % F.P  # ONE for inactive rows
+        active = np.zeros((n_levels, m), bool)
         for c in range(combo_count):
-            for back in taps.combos[c]:
-                zb = F.ext_mul_np(z, _base_pow_ext(back_one, back))
-                q, rem = hal.poly_divide_ext(combos[c : c + 1], jnp.asarray(zb))
-                assert not np.any(np.asarray(rem)), f"combo {c} remainder != 0"
-                combos = combos.at[c].set(q[0])
-        q, rem = hal.poly_divide_ext(combos[combo_count:], jnp.asarray(z_pow))
-        assert not np.any(np.asarray(rem)), "check combo remainder != 0"
-        combos = combos.at[combo_count].set(q[0])
+            for lvl, back in enumerate(taps.combos[c]):
+                zs_levels[lvl, c] = F.ext_mul_np(z, _base_pow_ext(back_one, back))
+                active[lvl, c] = True
+        combos, rems = hal.combos_divide(
+            combos, jnp.asarray(zs_levels), jnp.asarray(active),
+            jnp.asarray(z_pow))
+        assert not np.any(np.asarray(rems)), "combo remainder != 0"
 
         # sum combos into the final FRI polynomial, planar + bit-reversed
         final_coeffs = hal.eltwise_sum_extelem(combos)  # (4, cycles)

@@ -78,6 +78,29 @@ def test_asm_iop_read_and_output():
     assert pf.output == [sum(words) % F.P]
 
 
+@pytest.mark.parametrize("nbytes", [64, 170])
+def test_asm_sha256_matches_hashlib(nbytes):
+    """In-VM sha rows (init/load/mix/fini) over padded blocks must equal
+    hashlib.sha256 of the message bytes."""
+    import hashlib
+
+    msg = bytes(range(nbytes % 251)) * 4
+    msg = (msg * ((nbytes // len(msg)) + 1))[:nbytes]
+    # standard SHA padding to whole blocks
+    padded = msg + b"\x80" + b"\x00" * ((55 - nbytes) % 64) \
+        + (8 * nbytes).to_bytes(8, "big")
+    words = np.frombuffer(padded, "<u4")
+
+    a = Asm()
+    addrs = [a.const(int(w) & 0xFFFF, int(w) >> 16) for w in words]
+    dig = a.sha256(addrs)
+    _, pf = _run(a)
+    got = np.array([pf.wom[dig[i]][0] | (pf.wom[dig[i]][1] << 16)
+                    for i in range(8)], np.uint32)
+    want = np.frombuffer(hashlib.sha256(msg).digest(), np.uint32)
+    assert np.array_equal(got, want)
+
+
 def test_asm_prove_verify_own_program():
     """Prove a self-authored recursion program at po2=11 and verify the seal
     cryptographically with our recursion verifier, checking the program's own
