@@ -38,15 +38,18 @@ def fri_prove(iop, final_poly_coeffs, inner):
     `inner(iop, pos)` writes the caller's per-query openings (group Merkle
     proofs).  Mirrors reference fri.rs:86-126.
     """
+    from .. import perf
+
     coeffs = final_poly_coeffs
     orig_domain = coeffs.shape[1] * INV_RATE
     rounds = []
-    while coeffs.shape[1] > FRI_MIN_DEGREE:
-        rnd = _ProveRound(iop, coeffs)
-        rounds.append(rnd)
-        coeffs = rnd.coeffs
-    # final coefficients in natural order, planar base-elem layout
-    final = np.asarray(ntt.bit_reverse(coeffs))
+    with perf.scope("rounds"):
+        while coeffs.shape[1] > FRI_MIN_DEGREE:
+            rnd = _ProveRound(iop, coeffs)
+            rounds.append(rnd)
+            coeffs = rnd.coeffs
+        # final coefficients in natural order, planar base-elem layout
+        final = np.asarray(ntt.bit_reverse(coeffs))
     iop.write_field_elems(final)
     iop.commit(iop.suite.hash_elem_slice(final.ravel()))
 
@@ -60,11 +63,14 @@ def fri_prove(iop, final_poly_coeffs, inner):
     for rnd in rounds:
         cur = [p % (rnd.domain // FRI_FOLD) for p in cur]
         round_positions.append(cur)
-    prefetched = [rnd.merkle.prefetch(ps)
-                  for rnd, ps in zip(rounds, round_positions)]
+    with perf.scope("round_prefetch"):
+        prefetched = [rnd.merkle.prefetch(ps)
+                      for rnd, ps in zip(rounds, round_positions)]
 
-    inner_prefetched = inner(positions)
-    for qi in range(QUERIES):
-        inner_prefetched(iop, qi)
-        for pf in prefetched:
-            pf.write(iop, qi)
+    with perf.scope("inner_prefetch"):
+        inner_prefetched = inner(positions)
+    with perf.scope("query_write"):
+        for qi in range(QUERIES):
+            inner_prefetched(iop, qi)
+            for pf in prefetched:
+                pf.write(iop, qi)

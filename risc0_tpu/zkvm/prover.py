@@ -157,12 +157,46 @@ class ProverImpl(ProverServer):
             if hasattr(r, "verify_integrity")]
         composite = CompositeReceipt(
             segments=receipts, assumption_receipts=assumption_receipts)
-        receipt = Receipt(InnerReceipt("composite", composite),
-                          session.journal)
+        if self.opts.receipt_kind == "composite":
+            receipt = Receipt(InnerReceipt("composite", composite),
+                              session.journal)
+        elif self.opts.receipt_kind == "succinct":
+            succinct = self.compress_composite(composite)
+            receipt = Receipt(InnerReceipt("succinct", succinct),
+                              session.journal)
+        else:
+            raise NotImplementedError(
+                f"receipt kind {self.opts.receipt_kind} (groth16 wrap is "
+                "produced via identity_p254 + external snark prover)")
         # Self-check before returning (reference prover_impl.rs:155-170).
-        ctx = VerifierContext(hashfn=self.opts.hashfn, dev_mode=False)
+        ctx = self._verifier_ctx()
         receipt.verify_integrity(ctx)
         return ProveInfo(receipt=receipt, session=session)
+
+    def _verifier_ctx(self) -> VerifierContext:
+        from ..circuit.recursion.predicates import own_control_ids
+        try:
+            _ids, root = own_control_ids()
+        except FileNotFoundError:
+            root = None
+        return VerifierContext(hashfn=self.opts.hashfn, dev_mode=False,
+                               control_root=root)
+
+    def compress_composite(self, composite):
+        """CompositeReceipt -> SuccinctReceipt via lift + join tree
+        (reference prover_impl.rs:183-213)."""
+        from .recursion_driver import compress_composite
+        return compress_composite(composite)
+
+    def compress(self, receipt: Receipt) -> Receipt:
+        """reference prove/mod.rs compress: composite -> succinct."""
+        if receipt.inner.kind == "succinct":
+            return receipt
+        assert receipt.inner.kind == "composite"
+        succinct = self.compress_composite(receipt.inner.value)
+        out = Receipt(InnerReceipt("succinct", succinct), receipt.journal)
+        out.verify_integrity(self._verifier_ctx())
+        return out
 
     def prove_segment(self, seg, claim) -> SegmentReceipt:
         from ..circuit.rv32im.prove import prove_segment as rv_prove_segment

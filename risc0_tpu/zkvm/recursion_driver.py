@@ -1,0 +1,111 @@
+"""Recursion driver: lift / join / resolve orchestration on self-authored
+predicates (reference risc0/zkvm/src/host/recursion/prove/mod.rs:73-260 and
+host/server/prove/prover_impl.rs compress flow).
+
+Our predicate programs and allowed-control-ID set come from
+circuit/recursion/predicates.py (scripts/gen_predicates.py regenerates).
+Every helper returns a SuccinctReceipt carrying the full ReceiptClaim so
+receipts can be joined further.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import field as F
+from ..circuit.recursion.predicates import load_own_program, own_control_ids
+from ..circuit.recursion.prove import MerkleGroup, prove_zkr
+from .claims import ReceiptClaim
+from .receipt import SuccinctReceipt, VerificationError
+
+
+def _allowed():
+    ids, root = own_control_ids()
+    names = sorted(ids)
+    leaves = [ids[k] for k in names]
+    return ids, leaves, root
+
+
+def _proof_words(group: MerkleGroup, control_id) -> list[int]:
+    """[index word] ++ sibling digest words for the in-VM inclusion check."""
+    proof = group.get_proof(control_id)
+    words = [int(proof["index"])]
+    for d in proof["digests"]:
+        words.extend(int(w) for w in np.asarray(d, np.uint32))
+    return words
+
+
+def _claim_body_words(claim: ReceiptClaim) -> list[int]:
+    """input/pre/post/output digests + exit pair, the join/resolve tape
+    claim layout (predicates._read_claim)."""
+    from .claims import opt_digest
+
+    sys_exit, user_exit = claim.exit_code.into_pair()
+    words = []
+    for d in (opt_digest(claim.input), claim.pre.digest(),
+              claim.post.digest(), opt_digest(claim.output)):
+        words.extend(int(w) for w in np.asarray(d, np.uint32))
+    words.extend([sys_exit, user_exit])
+    return words
+
+
+def lift(segment_receipt) -> SuccinctReceipt:
+    """rv32im SegmentReceipt -> SuccinctReceipt via lift_rv32im_{po2}
+    (reference recursion/prove/mod.rs:73-103)."""
+    seal = np.asarray(segment_receipt.seal, np.uint32)
+    po2 = int(seal[91])  # [version][90 globals][po2]
+    ids, leaves, root = _allowed()
+    name = f"lift_rv32im_{po2}"
+    if name not in ids:
+        raise VerificationError(
+            f"no lift predicate for po2={po2}; regenerate with "
+            f"scripts/gen_predicates.py --po2s {po2}")
+    prog = load_own_program(name)
+    tape = [int(w) for w in np.asarray(root, np.uint32)]
+    tape += [int(w) for w in seal]
+    receipt = prove_zkr(prog, ids[name], leaves, tape,
+                        claim=segment_receipt.claim)
+    want = segment_receipt.claim.digest()
+    got = receipt_claim_digest(receipt)
+    if not np.array_equal(got, want):
+        raise VerificationError("lift output claim digest mismatch")
+    return receipt
+
+
+def receipt_claim_digest(receipt: SuccinctReceipt) -> np.ndarray:
+    """Claim digest decoded from the receipt's seal output."""
+    from ..circuit.recursion.prove import read_sha_halfs
+
+    out = F.decode_np(np.asarray(receipt.seal[:32], np.uint32))
+    return read_sha_halfs(out[16:32])
+
+
+def join(left: SuccinctReceipt, right: SuccinctReceipt) -> SuccinctReceipt:
+    """Two chained SuccinctReceipts -> one (reference recursion/prove/
+    mod.rs:168-190).  left/right must carry full ReceiptClaims."""
+    ids, leaves, root = _allowed()
+    group = MerkleGroup(leaves)
+    prog = load_own_program("join")
+    tape = [int(w) for w in np.asarray(root, np.uint32)]
+    for r in (left, right):
+        tape += _proof_words(group, r.control_id)
+        tape += [int(w) for w in np.asarray(r.seal, np.uint32)]
+        tape += _claim_body_words(r.claim)
+    joined = ReceiptClaim(
+        pre=left.claim.pre, post=right.claim.post,
+        exit_code=right.claim.exit_code,
+        input=left.claim.input, output=right.claim.output)
+    receipt = prove_zkr(prog, ids["join"], leaves, tape, claim=joined)
+    if not np.array_equal(receipt_claim_digest(receipt), joined.digest()):
+        raise VerificationError("join output claim digest mismatch")
+    return receipt
+
+
+def compress_composite(composite) -> SuccinctReceipt:
+    """Lift every segment receipt and left-fold joins (reference
+    prover_impl.rs:183-213 compress)."""
+    lifted = [lift(sr) for sr in composite.segments]
+    acc = lifted[0]
+    for nxt in lifted[1:]:
+        acc = join(acc, nxt)
+    return acc

@@ -36,6 +36,11 @@ def main():
     import jax
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the big eval_check/commit graphs take tens of
+    # minutes through the remote compile service; cache across processes
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     dev = str(jax.devices()[0])
 
     from risc0_tpu import perf

@@ -1,0 +1,49 @@
+"""BN254 pairing + Groth16 verifier: algebraic sanity and the reference's
+test vectors (vendored from risc0/groth16/tests/data, pure JSON data)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from risc0_tpu.groth16 import bn254 as bn
+from risc0_tpu.groth16 import Verifier, split_digest
+
+
+def test_generators_on_curve():
+    assert bn.g1_is_on_curve(bn.G1_GEN)
+    assert bn.g2_is_on_curve(bn.G2_GEN)
+    # subgroup order
+    assert bn.g1_mul(bn.G1_GEN, bn.R) is None
+
+
+def test_pairing_bilinearity():
+    e1 = bn.pairing(bn.g1_mul(bn.G1_GEN, 2), bn.G2_GEN)
+    e2 = bn.pairing(bn.G1_GEN, bn.G2_GEN)
+    assert e1 == bn.f12_mul(e2, e2)
+    assert e1 != bn.F12_ONE
+    # e(P, Q) * e(-P, Q) == 1
+    assert bn.multi_pairing_is_one(
+        [(bn.G1_GEN, bn.G2_GEN), (bn.g1_neg(bn.G1_GEN), bn.G2_GEN)])
+
+
+def test_groth16_reference_vectors():
+    """The reference's own proof/vk/public test triple must verify
+    (risc0/groth16/tests/verify.rs)."""
+    proof = json.load(open("tests/data/groth16/proof.json"))
+    public = json.load(open("tests/data/groth16/public.json"))
+    vk = json.load(open("tests/data/groth16/verification_key.json"))
+    v = Verifier.from_json(proof, public, vk)
+    assert v.verify()
+
+    # tampered public input must fail
+    bad = Verifier.from_json(proof, [str(int(public[0]) + 1)], vk)
+    assert not bad.verify()
+
+
+def test_split_digest():
+    d = np.arange(8, dtype=np.uint32) * 0x01020304
+    lo, hi = split_digest(d)
+    be = d.tobytes()[::-1]
+    assert hi == int.from_bytes(be[:16], "big")
+    assert lo == int.from_bytes(be[16:], "big")

@@ -56,6 +56,27 @@ def test_lift_preflight_rejects_tampered_seal(rv32im_seal):
             pf.run(prog.code)
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RISC0_TPU_SLOW_TESTS"),
+    reason="recursion prove at po2=18 (slow on CPU)")
+def test_lift_prove_verify_succinct_receipt(rv32im_seal):
+    """VERDICT r1 item 2 (half): rv32im segment seal -> lifted recursion
+    seal -> cryptographically verified SuccinctReceipt against OUR
+    allowed-control-IDs root."""
+    from risc0_tpu.circuit.rv32im.claim import decode_claim
+    from risc0_tpu.zkvm.receipt import SegmentReceipt, VerifierContext
+    from risc0_tpu.zkvm.recursion_driver import lift
+
+    sr = SegmentReceipt(seal=rv32im_seal, index=0, hashfn="poseidon2",
+                        claim=decode_claim(rv32im_seal))
+    receipt = lift(sr)
+    _ids, root = own_control_ids()
+    ctx = VerifierContext(control_root=root)
+    receipt.verify_integrity(ctx)
+    assert np.array_equal(receipt.claim.digest(),
+                          decode_claim(rv32im_seal).digest())
+
+
 def test_own_control_ids_consistent():
     """Vendored programs hash to the recorded control IDs and root."""
     from risc0_tpu.circuit.recursion.prove import MerkleGroup
