@@ -3,9 +3,16 @@
 #include "r0vm.h"
 
 #include <cstdio>
+#include <map>
+#include <array>
+#include <stdexcept>
+#include <thread>
+#include <functional>
 #include <cstring>
 #include <string>
 #include <vector>
+
+#include "bigint.inc"
 
 using namespace r0;
 
@@ -385,6 +392,68 @@ int r0_digest_pair(const uint32_t lhs[8], const uint32_t rhs[8],
   Digest d = digest_pair(l, r);
   std::memcpy(out_digest, d.data(), 32);
   return 0;
+}
+
+
+// Standalone bibc evaluation over a flat word-addressed memory image (for
+// tests: reference bibc.rs test pattern without a full Machine).  `regs` are
+// the 32 machine-register byte-address values used as arenas.  Returns 0 on
+// success; witness stores land directly in `mem`.
+int r0_bibc_eval(const uint8_t* prog, uint64_t prog_len, uint32_t* mem,
+                 uint64_t mem_words, const uint32_t* regs, uint32_t mode) {
+  struct FlatIO : bibc::IO {
+    uint32_t* mem;
+    uint64_t mem_words;
+    const uint32_t* regs;
+    FlatIO(uint32_t* m, uint64_t n, const uint32_t* r)
+        : mem(m), mem_words(n), regs(r) {}
+    uint32_t base(uint32_t arena) {
+      uint32_t v = regs[arena % 32];
+      if (v % 4 != 0) throw std::runtime_error("unaligned arena");
+      return v / 4;
+    }
+    uint32_t rd(uint32_t waddr) {
+      if (waddr >= mem_words) throw std::runtime_error("bibc mem oob");
+      return mem[waddr];
+    }
+    void wr(uint32_t waddr, uint32_t word) {
+      if (waddr >= mem_words) throw std::runtime_error("bibc mem oob");
+      mem[waddr] = word;
+    }
+    bibc::BInt load(uint32_t arena, uint32_t offset,
+                    uint32_t count) override {
+      uint32_t start = base(arena) + offset * 4;
+      std::vector<uint32_t> limbs;
+      for (uint32_t a = start; a < start + (count + 3) / 4; a++)
+        limbs.push_back(rd(a));
+      if (!limbs.empty()) {
+        switch (count % 4) {
+          case 1: limbs.back() &= 0xff; break;
+          case 2: limbs.back() &= 0xffff; break;
+          case 3: limbs.back() &= 0xffffff; break;
+        }
+      }
+      return bibc::make(false, std::move(limbs));
+    }
+    void store(uint32_t arena, uint32_t offset, uint32_t count,
+               const bibc::BInt& value) override {
+      uint32_t addr = base(arena) + offset * 4;
+      if (count % 16 != 0 || count < value.mag.size() * 4)
+        throw std::runtime_error("bibc store count");
+      for (uint32_t i = 0; i < count / 4; i++)
+        wr(addr + i, i < value.mag.size() ? value.mag[i] : 0);
+    }
+  };
+  try {
+    std::vector<uint8_t> bytes(prog, prog + prog_len);
+    bibc::Program program = bibc::Program::decode(bytes);
+    FlatIO io(mem, mem_words, regs);
+    bibc::eval(program, io);
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return 1;
+  }
 }
 
 }  // extern "C"

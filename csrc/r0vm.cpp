@@ -677,8 +677,7 @@ struct Machine {
       case HOST_ECALL_WRITE: return ecall_write();
       case HOST_ECALL_POSEIDON2: return ecall_poseidon2();
       case HOST_ECALL_SHA2: return ecall_sha2();
-      case HOST_ECALL_BIGINT:
-        throw std::runtime_error("bigint ecall not yet implemented");
+      case HOST_ECALL_BIGINT: return ecall_bigint();
       default:
         throw std::runtime_error("unknown machine ecall");
     }
@@ -775,6 +774,7 @@ struct Machine {
 
   // sha2 accelerator (execute/sha2.rs); cycle per state transition
   bool ecall_sha2();
+  bool ecall_bigint();
   // poseidon2 accelerator (execute/poseidon2.rs)
   bool ecall_poseidon2();
   void p2_step(P2State& p2, CycleState& cur_state, CycleState next,
@@ -1535,3 +1535,5 @@ ExecResult execute(MemoryImage image, uint32_t segment_po2,
 }  // namespace r0
 
 #include "preflight.inc"
+#include "bigint.inc"
+#include "bigint_ecall.inc"

@@ -52,7 +52,8 @@ constexpr uint32_t MEMORY_END_WADDR = 0x4000'0000;  // word address
 
 constexpr uint32_t REG_MAX = 32;
 constexpr uint32_t REG_ZERO = 0, REG_A0 = 10, REG_A1 = 11, REG_A2 = 12,
-                   REG_A3 = 13, REG_A4 = 14, REG_A7 = 17;
+                   REG_A3 = 13, REG_A4 = 14, REG_A7 = 17,
+                   REG_T0 = 5, REG_T1 = 6, REG_T2 = 7, REG_T3 = 28;
 
 // host ecall numbers (platform.rs:90-95)
 constexpr uint32_t HOST_ECALL_TERMINATE = 0, HOST_ECALL_READ = 1,

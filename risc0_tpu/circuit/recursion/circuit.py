@@ -108,15 +108,18 @@ def load_circuit() -> RecursionCircuit:
     return RecursionCircuit(taps, pe["opcode"], pe["operands"], pe["ret"])
 
 
-def verify_recursion_seal(seal, check_control_id=None) -> np.ndarray:
+def verify_recursion_seal(seal, check_control_id=None,
+                          suite=None) -> np.ndarray:
     """Verify a recursion-circuit seal (the inner check of SuccinctReceipt
     verification, reference receipt/succinct.rs:103-190).  `check_control_id`
-    receives (po2, code_root) to validate program membership."""
+    receives (po2, code_root) to validate program membership.  `suite`
+    selects the transcript hash suite (poseidon254 for identity_p254
+    receipts)."""
     from ...hash.suite import POSEIDON2
     from ...verify import verifier as V
 
     circuit = load_circuit()
-    return V.verify(circuit, POSEIDON2, np.asarray(seal, np.uint32),
+    return V.verify(circuit, suite or POSEIDON2, np.asarray(seal, np.uint32),
                     check_control_id or (lambda po2, root: None))
 
 

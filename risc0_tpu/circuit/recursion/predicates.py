@@ -416,6 +416,44 @@ def join() -> "Program":
     return a.program(RECURSION_PO2)
 
 
+def identity() -> "Program":
+    """Identity predicate: verify one succinct (recursion) seal and re-emit
+    its claim unchanged (reference host/recursion/prove/mod.rs:355-392
+    identity_p254; the program itself is hash-suite agnostic — proving it
+    under the poseidon254 suite yields the BN254 wrap receipt).
+
+    Input tape:
+      control_root (8 raw words)
+      [incl index, 8 sibling digests] ++ inner seal
+    Output: [control_root | inner claim digest halfs].
+    """
+    a = Asm()
+    gen = Gen(a)
+    root_words, _ = _read_raw_words(gen, 8)
+    a._flush()
+    root_echo = [a.add(w, 0) for w in root_words]
+    assert root_echo == list(range(root_echo[0], root_echo[0] + 8))
+    root_abs = [a.mul(w, a.const(pow(F.R % P, P - 2, P)))
+                for w in root_words]
+
+    halfs = _verify_inner_succinct(gen, root_words, root_abs)
+    # recombine 16 half cells into 8 contiguous pair-format digest cells
+    # (lo + hi*x), the same encoding tagged_sha outputs
+    x1 = gen.x_pows()[0]
+    his = [a.mul(halfs[2 * i + 1], x1) for i in range(8)]
+    a._flush()
+    claim = [a.add(halfs[2 * i], his[i]) for i in range(8)]
+    assert claim == list(range(claim[0], claim[0] + 8))
+
+    a.set_global(root_echo[0], 0)
+    a.set_global(root_echo[4], 1)
+    a.set_global(claim[0], 2)
+    a.set_global(claim[4], 3)
+    for c in root_echo + claim:
+        a.output(c)
+    return a.program(RECURSION_PO2)
+
+
 def resolve() -> "Program":
     """Resolve predicate: remove the head assumption from a conditional
     receipt's claim (reference host/recursion/prove/mod.rs:214-258 +
@@ -506,6 +544,17 @@ def own_control_ids():
     z = np.load(_OWN_IDS, allow_pickle=True)
     ids = {str(n): z["ids"][i] for i, n in enumerate(z["names"])}
     return ids, z["root"]
+
+
+def identity_p254_control_id():
+    """The identity program's code commitment under the poseidon254 suite
+    (reference control_id.rs BN254_IDENTITY_CONTROL_ID)."""
+    z = np.load(_OWN_IDS, allow_pickle=True)
+    if "identity_p254" not in z.files:
+        raise FileNotFoundError(
+            "identity_p254 control ID not generated; run "
+            "scripts/gen_predicates.py --identity")
+    return z["identity_p254"]
 
 
 def lift_rv32im(po2: int):

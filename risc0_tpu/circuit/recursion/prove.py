@@ -393,14 +393,17 @@ def read_sha_halfs(shorts):
 
 
 def prove_zkr(program: Program, control_id, allowed_control_ids,
-              input_words, claim=None, **kw):
+              input_words, claim=None, suite=None, **kw):
     """Prove a recursion program and wrap as a SuccinctReceipt
     (reference host/recursion/prove/mod.rs:393-440).  `claim` defaults to the
-    pruned claim digest decoded from the seal output."""
+    pruned claim digest decoded from the seal output.  `suite` selects the
+    outer proof's hash suite ("poseidon254" for the BN254 wrap); the
+    control-ID MerkleGroup hashes with the same suite."""
     from ...zkvm.claims import MaybePruned
     from ...zkvm.receipt import SuccinctReceipt
 
-    seal, _output = prove_program(program, input_words, **kw)
+    suite = suite or POSEIDON2
+    seal, _output = prove_program(program, input_words, suite=suite, **kw)
     seal_vals = F.decode_np(np.asarray(seal[:32], np.uint32))
     claim_digest = read_sha_halfs(seal_vals[16:32])
     if claim is None:
@@ -410,7 +413,7 @@ def prove_zkr(program: Program, control_id, allowed_control_ids,
         seal=np.asarray(seal, np.uint32),
         control_id=np.asarray(control_id, np.uint32),
         claim=claim,
-        control_root=group.calc_root(),
-        control_inclusion_proof=group.get_proof(control_id),
-        hashfn="poseidon2",
+        control_root=group.calc_root(suite),
+        control_inclusion_proof=group.get_proof(control_id, suite),
+        hashfn=suite.name,
     )

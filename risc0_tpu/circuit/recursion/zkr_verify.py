@@ -206,14 +206,17 @@ class _Rng:
                 a.p2_load(digest, group=0, do_mont=0, keep_state=0,
                           keep_upper=0, prep_full=True)
         else:
+            # prep_full applies the external-matrix prep AT ITS ROW, so it
+            # must sit on the LAST load before the permute (the witgen
+            # kernel computes per-row; poseidon2.cpp:78-87)
             g0, g1, g2 = self.state
             a.p2_load(list(range(g0, g0 + 8)), group=0, do_mont=0,
                       keep_state=0, keep_upper=0)
             a.p2_load(list(range(g1, g1 + 8)), group=1, do_mont=0,
+                      keep_state=1, keep_upper=1)
+            a.p2_load(list(range(g2, g2 + 8)), group=2, do_mont=0,
                       keep_state=1, keep_upper=1,
                       prep_full=digest is None)
-            a.p2_load(list(range(g2, g2 + 8)), group=2, do_mont=0,
-                      keep_state=1, keep_upper=1)
             if digest is not None:
                 a.p2_load(digest, group=0, do_mont=0, keep_state=1,
                           keep_upper=1, prep_full=True)

@@ -147,6 +147,37 @@ def verifying_key_from_json(vk_json) -> VerifyingKey:
     )
 
 
+def hash_g1(pt) -> np.ndarray:
+    """sha256(x_be || y_be) (verifier.rs hash_point: uncompressed y,x LE
+    reversed)."""
+    x, y = pt
+    return _sha_words(int(x).to_bytes(32, "big") + int(y).to_bytes(32, "big"))
+
+
+def hash_g2(pt) -> np.ndarray:
+    """sha256(x.c1 || x.c0 || y.c1 || y.c0, each BE)."""
+    (xc0, xc1), (yc0, yc1) = pt
+    return _sha_words(
+        int(xc1).to_bytes(32, "big") + int(xc0).to_bytes(32, "big")
+        + int(yc1).to_bytes(32, "big") + int(yc0).to_bytes(32, "big"))
+
+
+def _sha_words(b: bytes) -> np.ndarray:
+    return np.frombuffer(hashlib.sha256(b).digest(), np.uint32).copy()
+
+
+def vk_digest(vk: VerifyingKey) -> np.ndarray:
+    """Digestible for VerifyingKey (verifier.rs:214-233)."""
+    from ..zkvm.claims import tagged_list, tagged_struct
+
+    ic = tagged_list("risc0_groth16.VerifyingKey.IC",
+                     [hash_g1(p) for p in vk.ic])
+    return tagged_struct(
+        "risc0_groth16.VerifyingKey",
+        [hash_g1(vk.alpha_g1), hash_g2(vk.beta_g2), hash_g2(vk.gamma_g2),
+         hash_g2(vk.delta_g2), ic], [])
+
+
 def split_digest(digest) -> tuple[int, int]:
     """Digest -> (lower-half Fr, upper-half Fr) (verifier.rs:302-310):
     byte-reverse to big-endian, split in the middle, each half as BE."""

@@ -438,6 +438,16 @@ def merkle_layers(matrix, suite_name: str = "poseidon2"):
             cur = p2.hash_pairs(cur[0::2], cur[1::2])
             layers.append(cur)
         return layers
+    if suite_name == "poseidon254":
+        from ..hash import poseidon254 as p254
+
+        leaves = p254.hash_rows(np.asarray(matrix))
+        layers = [leaves]
+        cur = leaves
+        while cur.shape[0] > 1:
+            cur = p254.hash_pairs(cur[0::2], cur[1::2])
+            layers.append(cur)
+        return layers
     from ..hash import sha256 as sha
 
     m = np.asarray(matrix)

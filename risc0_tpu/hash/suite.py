@@ -99,27 +99,38 @@ class HashSuite:
     """Bundle of hash functions + RNG factory, digest = (8,) uint32 words."""
 
     def __init__(self, name: str):
-        assert name in ("poseidon2", "sha-256")
+        assert name in ("poseidon2", "sha-256", "poseidon254")
         self.name = name
 
     def new_rng(self):
+        if self.name == "poseidon254":
+            from .poseidon254 import Poseidon254Rng
+            return Poseidon254Rng()
         return Poseidon2Rng() if self.name == "poseidon2" else ShaRng()
 
     def hash_pair(self, a, b) -> np.ndarray:
         if self.name == "poseidon2":
             return p2.hash_pair_np(a, b)
+        if self.name == "poseidon254":
+            from . import poseidon254 as p254
+            return p254.hash_pair(a, b)
         return sha.hash_pair(a, b)
 
     def hash_elem_slice(self, elems) -> np.ndarray:
         """elems: 1-D uint32 Montgomery-form array (ext elems flattened)."""
         if self.name == "poseidon2":
             return p2.unpadded_hash_np(elems)
+        if self.name == "poseidon254":
+            from . import poseidon254 as p254
+            return p254.unpadded_hash(elems)
         return sha.hash_raw_words(elems)
 
 
 POSEIDON2 = HashSuite("poseidon2")
 SHA256 = HashSuite("sha-256")
+POSEIDON254 = HashSuite("poseidon254")
 
 
 def get_suite(name: str) -> HashSuite:
-    return {"poseidon2": POSEIDON2, "sha256": SHA256, "sha-256": SHA256}[name]
+    return {"poseidon2": POSEIDON2, "sha256": SHA256, "sha-256": SHA256,
+            "poseidon254": POSEIDON254, "poseidon_254": POSEIDON254}[name]

@@ -115,42 +115,49 @@ class Prover:
         # Evaluate taps at z * back_one^back, group order accum/code/data —
         # ONE fused device dispatch over all groups (hal.evaluate_tap_groups)
         perf_tap = perf.scope("tap_eval"); perf_tap.__enter__()
-        all_xs = []
-        group_ids, cols, backs = [], [], []
-        for gid in range(taps.num_groups):
-            for offset, back in taps.group_taps(gid):
-                group_ids.append(gid)
-                cols.append(offset)
-                backs.append(back)
-                all_xs.append(F.ext_mul_np(_base_pow_ext(back_one, back), z))
-        ub = sorted(set(backs))
-        xs_distinct = np.stack(
-            [F.ext_mul_np(_base_pow_ext(back_one, b), z) for b in ub])
-        back_idx = [ub.index(b) for b in backs]
-        eval_u = list(np.asarray(hal.evaluate_tap_groups(
-            [self.groups[g].coeffs for g in range(taps.num_groups)],
-            group_ids, cols, backs, xs_distinct, back_idx)))
+        with perf.scope("tap_xs"):
+            all_xs = []
+            group_ids, cols, backs = [], [], []
+            for gid in range(taps.num_groups):
+                for offset, back in taps.group_taps(gid):
+                    group_ids.append(gid)
+                    cols.append(offset)
+                    backs.append(back)
+                    all_xs.append(F.ext_mul_np(_base_pow_ext(back_one, back), z))
+            ub = sorted(set(backs))
+            xs_distinct = np.stack(
+                [F.ext_mul_np(_base_pow_ext(back_one, b), z) for b in ub])
+            back_idx = [ub.index(b) for b in backs]
+        with perf.scope("tap_device"):
+            eval_u = list(np.asarray(hal.evaluate_tap_groups(
+                [self.groups[g].coeffs for g in range(taps.num_groups)],
+                group_ids, cols, backs, xs_distinct, back_idx)))
 
         # interpolate each register's taps to coefficients
-        coeff_u = []
-        pos = 0
-        for reg in taps.regs:
-            sz = reg.size
-            out = poly.poly_interpolate(
-                np.stack(all_xs[pos : pos + sz]), np.stack(eval_u[pos : pos + sz]))
-            coeff_u.extend(out)
-            pos += sz
+        with perf.scope("tap_interp"):
+            coeff_u = []
+            pos = 0
+            for reg in taps.regs:
+                sz = reg.size
+                out = poly.poly_interpolate(
+                    np.stack(all_xs[pos : pos + sz]),
+                    np.stack(eval_u[pos : pos + sz]))
+                coeff_u.extend(out)
+                pos += sz
 
         # add check-poly openings at z^4
-        z_pow = F.ext_pow_np(z, EXT_SIZE)
-        which = np.arange(CHECK_SIZE)
-        xs = jnp.asarray(np.broadcast_to(z_pow, (CHECK_SIZE, 4)).copy())
-        check_u = np.asarray(hal.batch_evaluate_any(check_group.coeffs, which, xs))
-        coeff_u.extend(check_u)
+        with perf.scope("tap_check_eval"):
+            z_pow = F.ext_pow_np(z, EXT_SIZE)
+            which = np.arange(CHECK_SIZE)
+            xs = jnp.asarray(np.broadcast_to(z_pow, (CHECK_SIZE, 4)).copy())
+            check_u = np.asarray(
+                hal.batch_evaluate_any(check_group.coeffs, which, xs))
+            coeff_u.extend(check_u)
 
-        coeff_u = np.stack(coeff_u)  # (num_taps + CHECK_SIZE, 4)
-        iop.write_field_elems(coeff_u)
-        iop.commit(self.suite.hash_elem_slice(coeff_u.ravel()))
+        with perf.scope("tap_commit"):
+            coeff_u = np.stack(coeff_u)  # (num_taps + CHECK_SIZE, 4)
+            iop.write_field_elems(coeff_u)
+            iop.commit(self.suite.hash_elem_slice(coeff_u.ravel()))
         perf_tap.__exit__(None, None, None)
 
         # FRI batching mix
@@ -161,67 +168,76 @@ class Prover:
         combos = jnp.zeros((combo_count + 1, self.cycles, 4), jnp.uint32)
 
         # mix the committed coefficients into combos (prover.rs:278-318)
-        cur_mix = poly.ext_one()
-        for gid in range(taps.num_groups):
-            pg = self.groups[gid]
-            regs = taps.group_regs(gid)
-            group_size = taps.group_size(gid)
-            assert len(regs) == group_size, "register groups must be dense"
-            which = np.array([r.combo_id for r in regs])
-            mix_pows = np.zeros((group_size, 4), np.uint32)
+        with perf.scope("combos_mix"):
+            cur_mix = poly.ext_one()
+            for gid in range(taps.num_groups):
+                pg = self.groups[gid]
+                regs = taps.group_regs(gid)
+                group_size = taps.group_size(gid)
+                assert len(regs) == group_size, "register groups must be dense"
+                which = np.array([r.combo_id for r in regs])
+                mix_pows = np.zeros((group_size, 4), np.uint32)
+                cm = cur_mix
+                for i in range(group_size):
+                    mix_pows[i] = cm
+                    cm = F.ext_mul_np(cm, mix)
+                combos = hal.mix_poly_coeffs(
+                    combos, jnp.asarray(mix_pows), pg.coeffs, which,
+                    combo_count)
+                cur_mix = F.ext_mul_np(cur_mix, F.ext_pow_np(mix, group_size))
+
+            which = np.full(CHECK_SIZE, combo_count)
+            mix_pows = np.zeros((CHECK_SIZE, 4), np.uint32)
             cm = cur_mix
-            for i in range(group_size):
+            for i in range(CHECK_SIZE):
                 mix_pows[i] = cm
                 cm = F.ext_mul_np(cm, mix)
             combos = hal.mix_poly_coeffs(
-                combos, jnp.asarray(mix_pows), pg.coeffs, which, combo_count)
-            cur_mix = F.ext_mul_np(cur_mix, F.ext_pow_np(mix, group_size))
-
-        which = np.full(CHECK_SIZE, combo_count)
-        mix_pows = np.zeros((CHECK_SIZE, 4), np.uint32)
-        cm = cur_mix
-        for i in range(CHECK_SIZE):
-            mix_pows[i] = cm
-            cm = F.ext_mul_np(cm, mix)
-        combos = hal.mix_poly_coeffs(
-            combos, jnp.asarray(mix_pows), check_group.coeffs, which, combo_count)
+                combos, jnp.asarray(mix_pows), check_group.coeffs, which,
+                combo_count)
 
         # combos_prepare: subtract claimed opening polys (hal/mod.rs:202-234)
-        combos_np = np.array(combos)  # writable host copy
-        cur = poly.ext_one()
-        cur_pos = 0
-        for reg in taps.regs:
-            for i in range(reg.size):
-                combos_np[reg.combo_id, i] = F.sub_np(
-                    combos_np[reg.combo_id, i], F.ext_mul_np(cur, coeff_u[cur_pos + i]))
-            cur = F.ext_mul_np(cur, mix)
-            cur_pos += reg.size
-        for _ in range(CHECK_SIZE):
-            combos_np[combo_count, 0] = F.sub_np(
-                combos_np[combo_count, 0], F.ext_mul_np(cur, coeff_u[cur_pos]))
-            cur_pos += 1
-            cur = F.ext_mul_np(cur, mix)
-        combos = jnp.asarray(combos_np)
+        with perf.scope("combos_prepare"):
+            combos_np = np.array(combos)  # writable host copy
+            cur = poly.ext_one()
+            cur_pos = 0
+            for reg in taps.regs:
+                for i in range(reg.size):
+                    combos_np[reg.combo_id, i] = F.sub_np(
+                        combos_np[reg.combo_id, i],
+                        F.ext_mul_np(cur, coeff_u[cur_pos + i]))
+                cur = F.ext_mul_np(cur, mix)
+                cur_pos += reg.size
+            for _ in range(CHECK_SIZE):
+                combos_np[combo_count, 0] = F.sub_np(
+                    combos_np[combo_count, 0],
+                    F.ext_mul_np(cur, coeff_u[cur_pos]))
+                cur_pos += 1
+                cur = F.ext_mul_np(cur, mix)
+            combos = jnp.asarray(combos_np)
 
         # combos_divide: exact division by each (x - z*back_one^back), all
         # combos per level batched into one device dispatch + one readback
-        n_levels = max(len(b) for b in taps.combos)
-        m = combo_count + 1
-        zs_levels = np.zeros((n_levels, m, 4), np.uint32)
-        zs_levels[:, :, 0] = F.R % F.P  # ONE for inactive rows
-        active = np.zeros((n_levels, m), bool)
-        for c in range(combo_count):
-            for lvl, back in enumerate(taps.combos[c]):
-                zs_levels[lvl, c] = F.ext_mul_np(z, _base_pow_ext(back_one, back))
-                active[lvl, c] = True
-        combos, rems = hal.combos_divide(
-            combos, jnp.asarray(zs_levels), jnp.asarray(active),
-            jnp.asarray(z_pow))
-        assert not np.any(np.asarray(rems)), "combo remainder != 0"
+        with perf.scope("combos_divide"):
+            n_levels = max(len(b) for b in taps.combos)
+            m = combo_count + 1
+            zs_levels = np.zeros((n_levels, m, 4), np.uint32)
+            zs_levels[:, :, 0] = F.R % F.P  # ONE for inactive rows
+            active = np.zeros((n_levels, m), bool)
+            for c in range(combo_count):
+                for lvl, back in enumerate(taps.combos[c]):
+                    zs_levels[lvl, c] = F.ext_mul_np(
+                        z, _base_pow_ext(back_one, back))
+                    active[lvl, c] = True
+            combos, rems = hal.combos_divide(
+                combos, jnp.asarray(zs_levels), jnp.asarray(active),
+                jnp.asarray(z_pow))
+            assert not np.any(np.asarray(rems)), "combo remainder != 0"
 
         # sum combos into the final FRI polynomial, planar + bit-reversed
-        final_coeffs = hal.eltwise_sum_extelem(combos)  # (4, cycles)
-        final_coeffs = ntt.bit_reverse(final_coeffs)
+        with perf.scope("combos_sum"):
+            final_coeffs = hal.eltwise_sum_extelem(combos)  # (4, cycles)
+            final_coeffs = ntt.bit_reverse(final_coeffs)
         perf_cmb.__exit__(None, None, None)
 
         def inner(positions):

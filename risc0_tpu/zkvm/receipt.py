@@ -41,6 +41,9 @@ class VerifierContext:
     # itself is expected to commit in its output (defaults to control_root).
     control_root: np.ndarray | None = None
     inner_control_root: np.ndarray | None = None
+    # Groth16 verifier parameters (reference receipt/groth16.rs:132-185):
+    # (control_root, bn254_control_id, verifying_key); None = defaults.
+    groth16_params: object | None = None
 
 
 @dataclass
@@ -172,7 +175,7 @@ class SuccinctReceipt:
                 raise ZkpError("control-ID inclusion proof invalid")
 
         try:
-            verify_recursion_seal(self.seal, check_code)
+            verify_recursion_seal(self.seal, check_code, suite=suite)
         except ZkpError as e:
             raise VerificationError(f"recursion seal invalid: {e}") from e
 
@@ -189,6 +192,67 @@ class SuccinctReceipt:
         if not np.array_equal(claim_digest, self.claim.digest()):
             raise VerificationError(
                 "seal output claim digest does not match receipt claim")
+
+    def claim_digest(self) -> np.ndarray:
+        return self.claim.digest()
+
+
+@dataclass
+class Groth16ReceiptVerifierParameters:
+    """reference receipt/groth16.rs:132-185.  Defaults to OUR allowed
+    control root + identity_p254 control ID (the reference's
+    ALLOWED_CONTROL_ROOT / BN254_IDENTITY_CONTROL_ID equivalents)."""
+
+    control_root: np.ndarray
+    bn254_control_id: np.ndarray
+    verifying_key: object = None  # groth16.VerifyingKey; None = ceremony key
+
+    @staticmethod
+    def default():
+        from ..circuit.recursion.predicates import (identity_p254_control_id,
+                                                    own_control_ids)
+        _ids, root = own_control_ids()
+        return Groth16ReceiptVerifierParameters(
+            control_root=root, bn254_control_id=identity_p254_control_id())
+
+    def vk(self):
+        from ..groth16 import GROTH16_VERIFIER_KEY
+        return self.verifying_key or GROTH16_VERIFIER_KEY
+
+    def digest(self) -> np.ndarray:
+        from ..groth16.verifier import vk_digest
+        from .claims import tagged_struct
+        return tagged_struct(
+            "risc0.Groth16ReceiptVerifierParameters",
+            [self.control_root, self.bn254_control_id, vk_digest(self.vk())],
+            [])
+
+
+@dataclass
+class Groth16Receipt:
+    """SNARK-wrapped receipt (reference receipt/groth16.rs:39-129)."""
+
+    seal: bytes
+    claim: object  # ReceiptClaim | MaybePruned
+    verifier_parameters: np.ndarray
+
+    def verify_integrity(self, ctx: VerifierContext):
+        from ..groth16 import Verifier
+
+        params = (ctx.groth16_params
+                  or Groth16ReceiptVerifierParameters.default())
+        if not np.array_equal(np.asarray(params.digest(), np.uint32),
+                              np.asarray(self.verifier_parameters,
+                                         np.uint32)):
+            raise VerificationError("groth16 verifier parameters mismatch")
+        try:
+            v = Verifier.from_seal(
+                bytes(self.seal), params.control_root, self.claim.digest(),
+                params.bn254_control_id, params.vk())
+        except (AssertionError, ValueError) as e:
+            raise VerificationError(f"groth16 seal format: {e}") from e
+        if not v.verify():
+            raise VerificationError("groth16 proof invalid")
 
     def claim_digest(self) -> np.ndarray:
         return self.claim.digest()

@@ -101,6 +101,34 @@ def join(left: SuccinctReceipt, right: SuccinctReceipt) -> SuccinctReceipt:
     return receipt
 
 
+def identity_p254(inner: SuccinctReceipt) -> SuccinctReceipt:
+    """SuccinctReceipt (poseidon2) -> SuccinctReceipt (poseidon254): the
+    stark-to-snark wrap input (reference host/recursion/prove/mod.rs:355-392).
+
+    The identity predicate verifies the inner recursion seal in-VM against
+    our poseidon2 allowed root; the outer proof is generated under the
+    poseidon254 suite with the singleton BN254 identity control ID as its
+    allowed set (control_id.rs BN254_IDENTITY_CONTROL_ID equivalent)."""
+    from ..circuit.recursion.predicates import identity_p254_control_id
+    from ..hash.suite import POSEIDON254
+
+    if inner.hashfn != "poseidon2":
+        raise VerificationError("identity_p254 requires a poseidon2 inner")
+    ids, leaves, root = _allowed()
+    group = MerkleGroup(leaves)
+    prog = load_own_program("identity")
+    tape = [int(w) for w in np.asarray(root, np.uint32)]
+    tape += _proof_words(group, inner.control_id)
+    tape += [int(w) for w in np.asarray(inner.seal, np.uint32)]
+    p254_id = identity_p254_control_id()
+    receipt = prove_zkr(prog, p254_id, [p254_id], tape,
+                        claim=inner.claim, suite=POSEIDON254)
+    if not np.array_equal(receipt_claim_digest(receipt),
+                          inner.claim.digest()):
+        raise VerificationError("identity_p254 output claim digest mismatch")
+    return receipt
+
+
 def compress_composite(composite) -> SuccinctReceipt:
     """Lift every segment receipt and left-fold joins (reference
     prover_impl.rs:183-213 compress)."""

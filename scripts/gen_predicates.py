@@ -32,6 +32,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--po2s", default="14")
     ap.add_argument("--join", action="store_true")
+    ap.add_argument("--resolve", action="store_true")
+    ap.add_argument("--identity", action="store_true")
     a = ap.parse_args()
 
     from risc0_tpu.circuit.recursion import predicates as pr
@@ -52,28 +54,49 @@ def main():
         print(f"  {name}: control_id {bytes(cid.tobytes()).hex()} "
               f"({time.time()-t0:.0f}s)")
 
-    if a.join:
+    for flag, name, build in (
+        (a.join, "join", pr.join),
+        (a.resolve, "resolve", pr.resolve),
+        (a.identity, "identity", pr.identity),
+    ):
+        if not flag:
+            continue
         t0 = time.time()
-        prog = pr.join()
-        save(prog, os.path.join(zkr_dir, "join.zkr.xz"))
+        prog = build()
+        save(prog, os.path.join(zkr_dir, name + ".zkr.xz"))
         cid = prog.control_id()
-        names.append("join")
+        names.append(name)
         ids.append(np.asarray(cid, np.uint32))
-        print(f"  join: control_id {bytes(cid.tobytes()).hex()} "
+        print(f"  {name}: control_id {bytes(cid.tobytes()).hex()} "
               f"({time.time()-t0:.0f}s)")
+
+    p254_id = None
+    if a.identity:
+        # BN254_IDENTITY_CONTROL_ID equivalent: the identity program's code
+        # commitment under the poseidon254 suite (control_id.rs:28-33)
+        t0 = time.time()
+        p254_id = pr.load_own_program("identity").control_id("poseidon254")
+        print(f"  identity p254 control_id "
+              f"{bytes(p254_id.tobytes()).hex()} ({time.time()-t0:.0f}s)")
 
     # merge with any existing own-IDs file (incremental regeneration)
     out_path = os.path.join(data_dir, "own_control_ids.npz")
     existing = {}
+    extra = {}
     if os.path.exists(out_path):
         z = np.load(out_path, allow_pickle=True)
         existing = dict(zip([str(n) for n in z["names"]], z["ids"]))
+        extra = {k: z[k] for k in z.files
+                 if k not in ("names", "ids", "root")}
     existing.update(dict(zip(names, ids)))
+    if p254_id is not None:
+        extra["identity_p254"] = np.asarray(p254_id, np.uint32)
     from risc0_tpu.circuit.recursion.prove import MerkleGroup
     all_names = sorted(existing)
     all_ids = np.stack([existing[n] for n in all_names])
     root = MerkleGroup(list(all_ids)).calc_root()
-    np.savez(out_path, names=np.array(all_names), ids=all_ids, root=root)
+    np.savez(out_path, names=np.array(all_names), ids=all_ids, root=root,
+             **extra)
     print(f"own allowed root: {bytes(root.tobytes()).hex()} "
           f"({len(all_names)} programs)")
 

@@ -1,0 +1,56 @@
+"""Generate vendored recursion-seal fixtures: lift the committed rv32im
+po2=14 seal into a succinct receipt (and optionally wrap with
+identity_p254), saving the seals under tests/data/ so fast tests can
+preflight-check join/resolve/identity without a full prove.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/gen_recursion_seals.py [--cpu] [--p254]
+"""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--p254", action="store_true")
+    a = ap.parse_args()
+
+    import jax
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    print("device:", jax.devices()[0])
+
+    from risc0_tpu.circuit.rv32im.claim import decode_claim
+    from risc0_tpu.zkvm.receipt import SegmentReceipt
+    from risc0_tpu.zkvm.recursion_driver import identity_p254, lift
+
+    seal = np.load(os.path.join(REPO, "tests/data/rv32im_seal_po2_14.npy"))
+    sr = SegmentReceipt(seal=seal, index=0, hashfn="poseidon2",
+                        claim=decode_claim(seal))
+    t0 = time.time()
+    receipt = lift(sr)
+    print(f"lift: {time.time()-t0:.1f}s seal_words={len(receipt.seal)}")
+    np.save(os.path.join(REPO, "tests/data/recursion_seal_lift14.npy"),
+            np.asarray(receipt.seal, np.uint32))
+
+    if a.p254:
+        t0 = time.time()
+        p254 = identity_p254(receipt)
+        print(f"identity_p254: {time.time()-t0:.1f}s "
+              f"seal_words={len(p254.seal)}")
+        np.save(os.path.join(REPO, "tests/data/p254_seal_identity.npy"),
+                np.asarray(p254.seal, np.uint32))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""BigInt accelerator (bibc VM): evaluate the reference's released bigint2
+program blobs (field + EC ops) through csrc/bigint.inc and check results
+against Python big-int arithmetic (reference
+risc0/circuit/rv32im/src/execute/{bibc.rs,bigint.rs}).
+
+Blob layout: [BigIntBlobHeader: nondet/verify/consts/temp sizes] ++
+sections (zkvm/platform/src/syscall.rs:1044-1049); arenas index machine
+registers, a1..aN for program arguments (blob pointer rides in a0).
+"""
+
+import ctypes as C
+import os
+
+import numpy as np
+import pytest
+
+BLOBS = "/root/reference/risc0/bigint2/src"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(BLOBS), reason="reference bigint2 blobs not present")
+
+
+@pytest.fixture(scope="module")
+def lib():
+    from risc0_tpu.zkvm.native import _load
+
+    lib = _load()
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.r0_bibc_eval.argtypes = [u8p, C.c_uint64, u32p, C.c_uint64, u32p,
+                                 C.c_uint32]
+    lib.r0_last_error.restype = C.c_char_p
+    return lib
+
+
+def _prog(path):
+    w = np.frombuffer(open(path, "rb").read(), np.uint32)
+    return np.frombuffer(w[4:4 + w[0]].tobytes(), np.uint8).copy()
+
+
+class Mem:
+    def __init__(self):
+        self.mem = np.zeros(1 << 17, np.uint32)
+        self.regs = np.zeros(32, np.uint32)
+        self.regs[2] = 0x40000  # sp: bibc temp space
+
+    def put(self, reg, addr, val=None, words=8):
+        self.regs[reg] = addr
+        if val is not None:
+            self.mem[addr // 4: addr // 4 + words] = np.frombuffer(
+                int(val).to_bytes(words * 4, "little"), np.uint32)
+
+    def get(self, addr, words=8):
+        return int.from_bytes(
+            self.mem[addr // 4: addr // 4 + words].tobytes(), "little")
+
+
+def _run(lib, blob, mem: Mem):
+    prog = _prog(blob)
+    rc = lib.r0_bibc_eval(prog, len(prog), mem.mem, len(mem.mem), mem.regs, 0)
+    assert rc == 0, lib.r0_last_error().decode()
+
+
+M25519 = (1 << 255) - 19
+A = 0xdeadbeef_cafebabe_12345678_9abcdef0_0fedcba9_87654321_13579bdf_2468ace0 % M25519
+B = 0xf123456789abcdef_fedcba98_11223344_55667788_99aabbcc_ddeeff00 % M25519
+
+
+@pytest.mark.parametrize("name,expect", [
+    ("modmul_256", A * B % M25519),
+    ("modadd_256", (A + B) % M25519),
+    ("modsub_256", (A - B) % M25519),
+])
+def test_field_binop_256(lib, name, expect):
+    m = Mem()
+    m.put(11, 0x1000, A)
+    m.put(12, 0x1100, B)
+    m.put(13, 0x1200, M25519)
+    m.put(14, 0x1300)
+    _run(lib, f"{BLOBS}/field/{name}.blob", m)
+    assert m.get(0x1300) == expect
+
+
+def test_modinv_256(lib):
+    m = Mem()
+    m.put(11, 0x1000, B)
+    m.put(12, 0x1100, M25519)
+    m.put(13, 0x1200)
+    _run(lib, f"{BLOBS}/field/modinv_256.blob", m)
+    assert m.get(0x1200) == pow(B, -1, M25519)
+
+
+def test_modmul_384(lib):
+    p384 = (1 << 383) - 187
+    m = Mem()
+    m.put(11, 0x1000, A, words=12)
+    m.put(12, 0x1100, B, words=12)
+    m.put(13, 0x1200, p384, words=12)
+    m.put(14, 0x1300, words=12)
+    _run(lib, f"{BLOBS}/field/modmul_384.blob", m)
+    assert m.get(0x1300, words=12) == A * B % p384
+
+
+SECP_P = 2**256 - 2**32 - 977
+SECP_GX = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+SECP_GY = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+
+
+def _ec_double(x, y):
+    lam = (3 * x * x) * pow(2 * y, -1, SECP_P) % SECP_P
+    rx = (lam * lam - 2 * x) % SECP_P
+    return rx, (lam * (x - rx) - y) % SECP_P
+
+
+def _ec_add(x1, y1, x2, y2):
+    lam = (y2 - y1) * pow(x2 - x1, -1, SECP_P) % SECP_P
+    rx = (lam * lam - x1 - x2) % SECP_P
+    return rx, (lam * (x1 - rx) - y1) % SECP_P
+
+
+def test_ec_double_256(lib):
+    m = Mem()
+    m.put(11, 0x1000, SECP_GX)
+    m.mem[0x1020 // 4: 0x1020 // 4 + 8] = np.frombuffer(
+        SECP_GY.to_bytes(32, "little"), np.uint32)
+    m.put(12, 0x2000, SECP_P)
+    m.mem[0x2040 // 4: 0x2040 // 4 + 8] = np.frombuffer(
+        (7).to_bytes(32, "little"), np.uint32)
+    m.put(13, 0x3000)
+    _run(lib, f"{BLOBS}/ec/ec_double_256.blob", m)
+    rx, ry = _ec_double(SECP_GX, SECP_GY)
+    assert m.get(0x3000) == rx and m.get(0x3020) == ry
+
+
+def test_ec_add_256(lib):
+    x2, y2 = _ec_double(SECP_GX, SECP_GY)
+    m = Mem()
+    m.put(11, 0x1000, SECP_GX)
+    m.mem[0x1020 // 4: 0x1020 // 4 + 8] = np.frombuffer(
+        SECP_GY.to_bytes(32, "little"), np.uint32)
+    m.put(12, 0x1100, x2)
+    m.mem[0x1120 // 4: 0x1120 // 4 + 8] = np.frombuffer(
+        y2.to_bytes(32, "little"), np.uint32)
+    m.put(13, 0x2000, SECP_P)
+    m.mem[0x2040 // 4: 0x2040 // 4 + 8] = np.frombuffer(
+        (7).to_bytes(32, "little"), np.uint32)
+    m.put(14, 0x3000)
+    _run(lib, f"{BLOBS}/ec/ec_add_256.blob", m)
+    rx, ry = _ec_add(SECP_GX, SECP_GY, x2, y2)
+    assert m.get(0x3000) == rx and m.get(0x3020) == ry
+
+
+def test_bad_magic_rejected(lib):
+    m = Mem()
+    prog = np.zeros(32, np.uint8)
+    rc = lib.r0_bibc_eval(prog, len(prog), m.mem, len(m.mem), m.regs, 0)
+    assert rc != 0

@@ -47,3 +47,24 @@ def test_split_digest():
     be = d.tobytes()[::-1]
     assert hi == int.from_bytes(be[:16], "big")
     assert lo == int.from_bytes(be[16:], "big")
+
+
+def test_verifier_parameters_digest_matches_reference():
+    """Reference receipt/groth16.rs:200-205 stable-digest golden: our
+    tagged hashing of (control_root, bn254_control_id, vk_digest) must
+    reproduce the published parameters digest for the reference's
+    published constants."""
+    import numpy as np
+    from risc0_tpu.zkvm.receipt import Groth16ReceiptVerifierParameters
+
+    def digest(hexstr):
+        return np.frombuffer(bytes.fromhex(hexstr), np.uint32).copy()
+
+    params = Groth16ReceiptVerifierParameters(
+        control_root=digest(
+            "3b304d1098ad401d3a04bc11976f476633a71b482b7851189663ca61209abe45"),
+        bn254_control_id=digest(
+            "c07a65145c3cb48b6101962ea607a4dd93c753bb26975cb47feb00d3666e4404"))
+    got = params.digest().tobytes().hex()
+    assert got == ("3880c9eb6bf2f1a7824608786aff4ed0b018e8ea18b7de6df0b511"
+                   "0c1915b65f")

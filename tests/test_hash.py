@@ -101,3 +101,45 @@ def test_sha_suite_hash_pair_matches_hash_raw():
     d2 = SHA256.hash_pair(a, b)
     assert np.array_equal(d1, d2)
     assert not np.array_equal(d1, a)
+
+
+def test_poseidon254_reference_vectors():
+    """Reference p254_test_vectors (zkp/src/core/hash/poseidon_254/
+    mod.rs:245-267): full hash/pair/rng transcript golden."""
+    from risc0_tpu.hash import poseidon254 as p254
+
+    inp = [F.s_encode(i) for i in range(1, 6)]
+    iop = p254.Poseidon254Rng()
+    d1 = p254.unpadded_hash(np.array(inp, np.uint32))
+    d2 = p254.hash_pair(d1, d1)
+    d3 = p254.hash_pair(d1, d2)
+    iop.mix(d3)
+    assert iop.random_bits(7) == 5
+    assert F.s_decode(iop.random_elem()) == 328085114
+    inp += [iop.random_elem() for _ in range(23)]
+    iop.mix(p254.unpadded_hash(np.array(inp, np.uint32)))
+    assert F.s_decode(iop.random_elem()) == 726238606
+
+
+def test_poseidon254_digest_fr_roundtrip():
+    from risc0_tpu.hash import poseidon254 as p254
+
+    v = 0x1234_5678_9ABC_DEF0_1122_3344
+    assert p254.digest_to_fr(p254.fr_to_digest(v)) == v
+    # non-canonical digest (>= Fr modulus) must be rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        p254.digest_to_fr(np.full(8, 0xFFFFFFFF, np.uint32))
+
+
+def test_poseidon254_suite_dispatch():
+    from risc0_tpu.hash.suite import get_suite
+    from risc0_tpu.hash import poseidon254 as p254
+
+    s = get_suite("poseidon254")
+    a = p254.fr_to_digest(1)
+    b = p254.fr_to_digest(2)
+    assert np.array_equal(s.hash_pair(a, b), p254.hash_pair(a, b))
+    r = s.new_rng()
+    r.mix(a)
+    assert 0 <= F.s_decode(r.random_elem()) < F.P
