@@ -456,4 +456,111 @@ int r0_bibc_eval(const uint8_t* prog, uint64_t prog_len, uint32_t* mem,
   }
 }
 
+
+// ---- sys_fork: copy-on-write child execution (reference
+// host/server/exec/syscall/fork.rs ChildExecutor) ------------------------
+
+// Deep-fork a machine mid-syscall: the child resumes at the SAME ecall
+// instruction (pc has not advanced yet), re-issues the syscall through its
+// OWN callbacks, and runs unconstrained until termination.  Cached pages
+// are deep-copied so child stores never alias the parent.
+void* r0_machine_fork(void* machine, void* io_user, r0_host_read_fn on_read,
+                      r0_host_write_fn on_write, void** out_io) {
+  try {
+    auto* io = new CallbackIO();
+    io->user = io_user;
+    io->on_read = on_read;
+    io->on_write = on_write;
+    *out_io = io;
+    return machine_fork_impl(machine, io);
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return nullptr;
+  }
+}
+
+// Run a forked child to termination; returns 0 on clean exit, 1 on error,
+// 2 on cycle-limit exhaustion.
+int r0_machine_fork_run(void* machine, uint64_t max_cycles) {
+  try {
+    return machine_fork_run_impl(machine, max_cycles);
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return 1;
+  }
+}
+
+// Request termination of a (forked) machine from inside a syscall
+// callback: the run loop exits after the current step (SYS_EXIT child stop,
+// reference fork.rs:141-144).
+void r0_machine_terminate(void* machine, uint32_t a0, uint32_t a1) {
+  machine_terminate_impl(machine, a0, a1);
+}
+
+void r0_machine_fork_free(void* machine, void* io) {
+  machine_fork_free_impl(machine);
+  delete static_cast<CallbackIO*>(io);
+}
+
+
+// ---- resumable sessions (pause/resume; reference guest env sys_pause +
+// host executor run/resume semantics) ------------------------------------
+
+void* r0_session_create(const uint8_t* user_elf, uint64_t user_len,
+                        const uint8_t* kernel_elf, uint64_t kernel_len) {
+  try {
+    Program user = Program::load_elf(user_elf, user_len, USER_END);
+    Program kernel = Program::load_elf(kernel_elf, kernel_len, 0xffff'ffff);
+    auto* ss = new SessionState{};
+    ss->rolling = MemoryImage::with_kernel(user, kernel);
+    return ss;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return nullptr;
+  }
+}
+
+// One run: executes until halt or pause; call again to resume after pause.
+int r0_session_run(void* session, uint32_t segment_po2, uint64_t max_cycles,
+                   const uint32_t input_digest[8], void* io_user,
+                   r0_host_read_fn on_read, r0_host_write_fn on_write,
+                   void* seg_user, r0_segment_fn on_segment,
+                   R0Result* result) {
+  try {
+    auto* ss = static_cast<SessionState*>(session);
+    CallbackIO io;
+    io.user = io_user;
+    io.on_read = on_read;
+    io.on_write = on_write;
+    Digest input{};
+    if (input_digest) std::memcpy(input.data(), input_digest, 32);
+    SegmentForwarder fwd{seg_user, on_segment};
+    ExecResult res = execute_run(*ss, segment_po2, max_cycles, input, io,
+                                 &fwd, forward_segment);
+    result->segments = res.segments;
+    result->user_cycles = res.user_cycles;
+    result->total_cycles = res.total_cycles;
+    result->paging_cycles = res.paging_cycles;
+    result->reserved_cycles = res.reserved_cycles;
+    std::memcpy(result->pre_state, res.pre_state.data(), 32);
+    std::memcpy(result->post_state, res.post_state.data(), 32);
+    std::memcpy(result->input, res.input.data(), 32);
+    result->has_output = res.output.has_value();
+    if (res.output) std::memcpy(result->output, res.output->data(), 32);
+    result->has_terminate = res.terminate_state.has_value();
+    if (res.terminate_state) {
+      result->terminate_a0 = res.terminate_state->a0;
+      result->terminate_a1 = res.terminate_state->a1;
+    }
+    return 0;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return 1;
+  }
+}
+
+void r0_session_free(void* session) {
+  delete static_cast<SessionState*>(session);
+}
+
 }  // extern "C"

@@ -1368,6 +1368,35 @@ ReplayResult replay_segment(const Segment& seg, const Digest& input_digest) {
   return res;
 }
 
+
+void* machine_fork_impl(void* machine, HostIO* io) {
+  Machine* parent = static_cast<Machine*>(machine);
+  auto* child = new Machine(*parent);
+  child->rec = nullptr;
+  for (auto& p : child->pager.page_cache)
+    if (p) p = std::make_shared<Page>(*p);
+  child->io = io;
+  io->machine_handle = child;
+  return child;
+}
+
+int machine_fork_run_impl(void* machine, uint64_t max_cycles) {
+  Machine* m = static_cast<Machine*>(machine);
+  while (!m->terminate_state.has_value()) {
+    if (m->session_user_cycles >= max_cycles) return 2;
+    if (!m->step()) break;
+  }
+  return 0;
+}
+
+void machine_fork_free_impl(void* machine) {
+  delete static_cast<Machine*>(machine);
+}
+
+void machine_terminate_impl(void* machine, uint32_t a0, uint32_t a1) {
+  static_cast<Machine*>(machine)->terminate_state = TerminateState{a0, a1};
+}
+
 uint32_t machine_peek(void* machine, uint32_t waddr) {
   return static_cast<Machine*>(machine)->pager.peek(waddr);
 }
@@ -1400,28 +1429,31 @@ static std::map<uint32_t, Digest> partial_image_digests(
   return out;
 }
 
-ExecResult execute(MemoryImage image, uint32_t segment_po2,
-                   uint64_t max_cycles, const Digest& input_digest,
-                   HostIO& io, void* seg_user, SegmentFn seg_fn) {
+ExecResult execute_run(SessionState& ss, uint32_t segment_po2,
+                       uint64_t max_cycles, const Digest& input_digest,
+                       HostIO& io, void* seg_user, SegmentFn seg_fn) {
   constexpr uint32_t MAX_INSN_CYCLES = 25'000;  // reference lib.rs:45
   uint32_t segment_limit = 1u << segment_po2;
   if (MAX_INSN_CYCLES >= segment_limit)
     throw std::runtime_error("segment po2 too small");
   uint32_t segment_threshold = segment_limit - MAX_INSN_CYCLES;
 
-  MemoryImage rolling = image;  // accumulates committed pages
+  MemoryImage image = ss.rolling;       // this run's working image
+  MemoryImage& rolling = ss.rolling;    // accumulates committed pages
   Digest initial_digest = rolling.image_id();
 
   Machine m(image);
   m.io = &io;
   io.machine_handle = &m;
   m.input_digest = input_digest;
+  m.session_user_cycles = ss.prior_user_cycles;
   m.resume();
 
   ExecResult res;
   res.pre_state = initial_digest;
   res.input = input_digest;
-  uint64_t segment_counter = 0;
+  uint64_t& segment_counter = ss.segment_counter;
+  uint64_t first_segment = segment_counter;
 
   bool trace_ring = getenv("RISC0_TPU_TRACE") != nullptr;
   struct TraceEnt { uint32_t pc, insn; };
@@ -1524,12 +1556,21 @@ ExecResult execute(MemoryImage image, uint32_t segment_po2,
   res.paging_cycles += m.pager.cycles;
   res.reserved_cycles += final_cycles - m.pager.cycles - m.user_cycles;
 
-  res.segments = segment_counter;
-  res.user_cycles = m.session_user_cycles;
+  res.segments = segment_counter - first_segment;
+  res.user_cycles = m.session_user_cycles - ss.prior_user_cycles;
+  ss.prior_user_cycles = m.session_user_cycles;
   res.post_state = rolling.image_id();
   res.output = m.output_digest;
   res.terminate_state = m.terminate_state;
   return res;
+}
+
+ExecResult execute(MemoryImage image, uint32_t segment_po2,
+                   uint64_t max_cycles, const Digest& input_digest,
+                   HostIO& io, void* seg_user, SegmentFn seg_fn) {
+  SessionState ss{std::move(image), 0, 0};
+  return execute_run(ss, segment_po2, max_cycles, input_digest, io, seg_user,
+                     seg_fn);
 }
 
 }  // namespace r0

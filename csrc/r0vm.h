@@ -176,6 +176,10 @@ struct HostIO {
 
 // Peek helpers on the opaque machine handle (no paging cost, no records).
 uint32_t machine_peek(void* machine, uint32_t waddr);
+void* machine_fork_impl(void* machine, HostIO* io);
+int machine_fork_run_impl(void* machine, uint64_t max_cycles);
+void machine_fork_free_impl(void* machine);
+void machine_terminate_impl(void* machine, uint32_t a0, uint32_t a1);
 uint32_t machine_user_reg(void* machine, uint32_t idx);
 uint64_t machine_user_cycles(void* machine);
 
@@ -217,6 +221,19 @@ struct ExecResult {
 using SegmentFn = void (*)(void* user, const Segment& seg);
 
 // Run a full session.  max_cycles==0 means unlimited.
+// Resumable session: the rolling image carries the continuation (pause
+// stores SUSPEND_PC/MODE before the final segment emit), so re-running
+// continues after a sys_pause (reference guest/env pause semantics).
+struct SessionState {
+  MemoryImage rolling;
+  uint64_t segment_counter = 0;
+  uint64_t prior_user_cycles = 0;
+};
+
+ExecResult execute_run(SessionState& ss, uint32_t segment_po2,
+                       uint64_t max_cycles, const Digest& input_digest,
+                       HostIO& io, void* seg_user, SegmentFn seg_fn);
+
 ExecResult execute(MemoryImage image, uint32_t segment_po2,
                    uint64_t max_cycles, const Digest& input_digest,
                    HostIO& io, void* seg_user, SegmentFn seg_fn);

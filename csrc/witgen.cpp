@@ -527,7 +527,7 @@ struct RecCtx {
   uint32_t* accum;
 
   // wom argument state
-  std::vector<std::array<uint32_t, 5>> wom_rows;  // addr, v0..3
+  std::vector<std::array<uint32_t, 6>> wom_rows;  // addr, v0..3, cycle
   std::vector<uint32_t> wom_index;
   // plonk accum state (FpExt per work row)
   std::vector<std::array<uint32_t, 4>> accum_rows;
@@ -646,12 +646,13 @@ class RecInterp {
             throw std::runtime_error("rec witgen: wom rows overflow");
           auto& wr = ctx_.wom_rows[row * kMaxWomRowsPerCycle + idx];
           wr = {s[a], s[b & 0xffff], s[b >> 16], s[c & 0xffff],
-                s[c >> 16]};
-#ifdef REC_DEBUG_352
-          if (wr[0] == 352)
-            printf("plonkWrite(352) row=%llu val=%u %u %u %u\n",
-                   (unsigned long long)row, wr[1], wr[2], wr[3], wr[4]);
-#endif
+                s[c >> 16], (uint32_t)row};
+          if (getenv("R0_WOM_TRACE")) {
+            uint32_t lo = atoi(getenv("R0_WOM_TRACE"));
+            if (row >= lo && row < lo + 16)
+              fprintf(stderr, "womWrite cycle=%llu idx=%u addr=%u data=(%u,%u,%u,%u)\n",
+                      (unsigned long long)row, idx, wr[0], wr[1], wr[2], wr[3], wr[4]);
+          }
           break;
         }
         case R_PLONK_READ_WOM: {
@@ -765,7 +766,7 @@ int r0_rec_witgen(
     ctx.ctrl = ctrl; ctx.global = global_buf; ctx.data = data;
     ctx.mix = nullptr; ctx.accum = nullptr;
     ctx.wom_rows.assign((size_t)((uint64_t)work * kMaxWomRowsPerCycle),
-                        std::array<uint32_t, 5>{0xffffffffu, 0, 0, 0, 0});
+                        std::array<uint32_t, 6>{0xffffffffu, 0, 0, 0, 0, 0});
     ctx.wom_index.assign(work, 0);
     unsigned nt = n_threads ? n_threads
                             : std::thread::hardware_concurrency();
@@ -774,6 +775,24 @@ int r0_rec_witgen(
 
     // sort wom rows (invalid pattern sorts last), exclusive-scan counts
     std::sort(ctx.wom_rows.begin(), ctx.wom_rows.end());
+    // early write-once consistency scan: produce a precise diagnostic
+    // (addr + both data tuples) instead of a later opaque wom.cpp:78 eqz
+    for (size_t i = 1; i < ctx.wom_rows.size(); i++) {
+      const auto& p = ctx.wom_rows[i - 1];
+      const auto& q = ctx.wom_rows[i];
+      if (q[0] == 0xffffffffu) break;
+      if (p[0] == q[0] &&
+          (p[1] != q[1] || p[2] != q[2] || p[3] != q[3] || p[4] != q[4])) {
+        throw std::runtime_error(
+            "rec witgen: WOM conflict at addr " + std::to_string(p[0]) +
+            ": cycle " + std::to_string(p[5]) +
+            " (" + std::to_string(p[1]) + "," + std::to_string(p[2]) + "," +
+            std::to_string(p[3]) + "," + std::to_string(p[4]) +
+            ") vs cycle " + std::to_string(q[5]) +
+            " (" + std::to_string(q[1]) + "," + std::to_string(q[2]) + "," +
+            std::to_string(q[3]) + "," + std::to_string(q[4]) + ")");
+      }
+    }
     uint32_t total = 0;
     for (uint32_t c = 0; c < work; c++) {
       uint32_t n = ctx.wom_index[c];

@@ -42,6 +42,24 @@ P2_GROUP_G0 = 12
 WIDTH = 23
 
 
+
+# SHA-256 IV + round constants (FIPS 180-4), materialized as WOM pair
+# cells for the sha macro rows (see Asm.sha256).
+_SHA_IV = (0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+           0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19)
+_SHA_K = (
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2)
+
 class Asm:
     """Emits code rows; returns WOM addresses (ints) for value-producing ops.
 
@@ -250,22 +268,35 @@ class Asm:
         Returns the 8 consecutive digest cells of the LAST block's fini.
         """
         assert len(words) % 16 == 0 and words
+        # Row encodings the generated step_exec sha arms expect:
+        #  * init row i: extern_womRead at operand[0]/[1] — the IV words
+        #    h[3-i] / h[7-i] as RAW (lo,hi) pair cells;
+        #  * load row i: operand[0] = message word cell, operand[1] = a
+        #    cell holding round constant K[i], operand[2] = subtype (1 =
+        #    pair format);
+        #  * mix row j: operand[1] = K[16+j] cell;
+        #  * fini row i: writes the a-half to operand[0] = out+3-i and the
+        #    e-half to operand[1] = out+7-i (byteswapped digest pairs).
+        iv_cells = [self.const(h & 0xFFFF, h >> 16) for h in _SHA_IV]
+        k_cells = [self.const(k & 0xFFFF, k >> 16) for k in _SHA_K]
         self._flush()
-        for _ in range(4):
-            self._macro("sha_init")
+        for i in range(4):
+            self._macro("sha_init", iv_cells[3 - i], iv_cells[7 - i])
         out_base = None
         n_blocks = len(words) // 16
         for b in range(n_blocks):
-            for w in words[16 * b: 16 * b + 16]:
-                self._macro("sha_load", w, 0, 1)
-            for _ in range(48):
-                self._macro("sha_mix")
-            # fini writes the (byteswapped) state to args[0]-3 .. +4;
-            # reference zirgen emits 4 fini rows with descending out addr
+            for i, w in enumerate(words[16 * b: 16 * b + 16]):
+                self._macro("sha_load", w, k_cells[i], 1)
+            for j in range(48):
+                self._macro("sha_mix", 0, k_cells[16 + j])
+            # each fini row writes TWO cells: the a-state half at
+            # operand[0]=out+3-i and the e-state half at operand[1]=out+7-i
+            # (reference prove/preflight.rs:462 addMacro comment; witgen
+            # step_exec derives both WOM elements from the operand columns)
             out_base = self.next_addr
             self.next_addr += 8
             for i in range(4):
-                self._macro("sha_fini", out_base + 3 - i)
+                self._macro("sha_fini", out_base + 3 - i, out_base + 7 - i)
         return list(range(out_base, out_base + 8))
 
     # ---- checked bytes ------------------------------------------------------

@@ -38,6 +38,8 @@ SYS_WRITE = _NR + "SYS_WRITE"
 SYS_PIPE = _NR + "SYS_PIPE"
 SYS_KECCAK = _NR + "SYS_KECCAK"
 SYS_VERIFY_INTEGRITY = _NR + "SYS_VERIFY_INTEGRITY"
+SYS_FORK = _NR + "SYS_FORK"
+SYS_EXIT = _NR + "SYS_EXIT"
 
 # sys_keccak modes (reference platform syscall.rs:79-80)
 KECCAK_PERMUTE, KECCAK_PROVE = 0, 1
@@ -68,6 +70,7 @@ class ExecutorEnv:
     keccak_max_po2: int = KECCAK_DEFAULT_PO2
     segment_po2: int = 20
     session_limit: int | None = None
+    fork_max_cycles: int = 1 << 32  # unconstrained-child safety limit
     write_fds: dict = field(default_factory=dict)  # fd -> file-like
     read_fds: dict = field(default_factory=dict)   # fd -> file-like
 
@@ -279,6 +282,8 @@ class _SyscallState:
             self.assumptions_used.insert(
                 0, (assumption, self.env.assumptions[key]))
             return (0, 0)
+        if name == SYS_FORK:
+            return self._sys_fork(machine)
         if name == SYS_ARGC:
             return (len(self.env.args), 0)
         if name == SYS_ARGV:
@@ -325,6 +330,58 @@ class _SyscallState:
             return (0, 0)
         raise RuntimeError(f"sys_keccak: invalid mode: {mode}")
 
+    def _sys_fork(self, machine):
+        """Parent side of sys_fork (reference host/server/exec/syscall/
+        fork.rs:52-63): deep-fork the machine, run the copy-on-write child
+        unconstrained until it exits, discard its memory, return
+        PID_PARENT.  The child resumes at the same ecall (pc hasn't
+        advanced), re-issues SYS_FORK through its own callbacks, and the
+        child dispatch answers PID_CHILD."""
+        from . import native
+
+        lib = self.lib
+        child_state = _ChildSyscallState(self)
+
+        def on_read(user, mach, fd, buf, length):
+            try:
+                data = child_state.host_read(mach, fd, length)
+                n = min(len(data), length)
+                C.memmove(buf, data, n)
+                return n
+            except Exception as e:
+                if child_state.error is None:
+                    child_state.error = e
+                return 0
+
+        def on_write(user, mach, fd, buf, length):
+            try:
+                return child_state.host_write(
+                    mach, fd, C.string_at(buf, length) if length else b"")
+            except Exception as e:
+                if child_state.error is None:
+                    child_state.error = e
+                return 0
+
+        read_cb = native.HOST_READ_FN(on_read)
+        write_cb = native.HOST_WRITE_FN(on_write)
+        out_io = C.c_void_p()
+        child = lib.r0_machine_fork(machine, None, read_cb, write_cb,
+                                    C.byref(out_io))
+        if not child:
+            raise RuntimeError(lib.r0_last_error().decode())
+        try:
+            rc = lib.r0_machine_fork_run(child, self.env.fork_max_cycles)
+            if child_state.error is not None:
+                raise child_state.error
+            if rc == 1:
+                raise RuntimeError(
+                    f"fork child failed: {lib.r0_last_error().decode()}")
+            if rc == 2:
+                raise RuntimeError("fork child exceeded cycle limit")
+        finally:
+            lib.r0_machine_fork_free(child, out_io)
+        return (1, 0)
+
     def _sys_read(self, machine, to_guest: bytearray):
         fd = self.user_reg(machine, REG_A3)
         nbytes = self.user_reg(machine, REG_A4)
@@ -349,6 +406,43 @@ class _SyscallState:
             raise RuntimeError(f"Bad write fd: {fd}")
         writer.write(data)
         return (0, 0)
+
+
+class _ChildSyscallState:
+    """Syscall view for a forked (unconstrained) child: nested forks answer
+    PID_CHILD, journal writes are rejected, everything else delegates to
+    the parent state with shared fd cursors (reference fork.rs:85-95)."""
+
+    def __init__(self, parent: _SyscallState):
+        self.parent = parent
+        self.return_cache = (0, 0)
+        self.error: Exception | None = None
+
+    def host_read(self, machine, fd: int, buf_len: int) -> bytes:
+        if fd == 0:
+            a0, a1 = self.return_cache
+            return a0.to_bytes(4, "little") + a1.to_bytes(4, "little")
+        name = self.parent.peek_string(machine, fd)
+        words = (buf_len + WORD_SIZE - 1) // WORD_SIZE
+        to_guest = bytearray(words * WORD_SIZE)
+        self.return_cache = self.dispatch(machine, name, to_guest)
+        return bytes(to_guest[:buf_len])
+
+    def host_write(self, machine, fd: int, data: bytes) -> int:
+        return self.parent.host_write(machine, fd, data)
+
+    def dispatch(self, machine, name: str, to_guest: bytearray):
+        if name == SYS_FORK:
+            return (0, 0)  # this execution IS the child
+        if name == SYS_EXIT:
+            # stop the child run loop after this step (fork.rs:141-144)
+            self.parent.lib.r0_machine_terminate(machine, 0, 0)
+            return (0, 0)
+        if name == SYS_WRITE:
+            if self.parent.user_reg(machine, REG_A3) == JOURNAL:
+                raise RuntimeError(
+                    "journal write from an unconstrained (forked) child")
+        return self.parent.dispatch(machine, name, to_guest)
 
 
 def _digest_np(arr) -> np.ndarray:
@@ -471,6 +565,7 @@ class ExecutorImpl:
             with open(V1COMPAT_ELF_PATH, "rb") as f:
                 kernel_elf = f.read()
         self.kernel_elf = bytes(kernel_elf)
+        self._session = None  # live r0 session handle (kept across pause)
 
     @staticmethod
     def from_program_binary(env: ExecutorEnv, blob: bytes) -> "ExecutorImpl":
@@ -505,7 +600,8 @@ class ExecutorImpl:
                 C.memmove(buf, data, n)
                 return n
             except Exception as e:  # propagate after native frame unwinds
-                state.error = e
+                if state.error is None:
+                    state.error = e
                 return 0
 
         def on_write(user, machine, fd, buf, length):
@@ -513,7 +609,8 @@ class ExecutorImpl:
                 data = C.string_at(buf, length)
                 return state.host_write(machine, fd, data)
             except Exception as e:
-                state.error = e
+                if state.error is None:
+                    state.error = e
                 return 0
 
         def on_segment(user, seg_ptr):
@@ -556,12 +653,21 @@ class ExecutorImpl:
         write_cb = native.HOST_WRITE_FN(on_write)
         seg_cb = native.SEGMENT_FN(on_segment)
 
+        # persistent session: a paused run keeps the handle so a subsequent
+        # run() resumes after the sys_pause ecall (reference guest env
+        # pause/resume, host executor.rs run semantics)
+        if self._session is None:
+            self._session = lib.r0_session_create(
+                self.user_elf, len(self.user_elf),
+                self.kernel_elf, len(self.kernel_elf))
+            if not self._session:
+                raise RuntimeError(lib.r0_last_error().decode())
+
         result = native.R0Result()
         input_digest = (C.c_uint32 * 8)()  # zero digest default
-        rc = lib.r0_execute_elf(
-            self.user_elf, len(self.user_elf),
-            self.kernel_elf, len(self.kernel_elf),
-            self.env.segment_po2, self.env.session_limit or 0,
+        rc = lib.r0_session_run(
+            self._session, self.env.segment_po2,
+            self.env.session_limit or 0,
             input_digest, None, read_cb, write_cb, None, seg_cb,
             C.byref(result))
         if state.error is not None:
@@ -580,6 +686,9 @@ class ExecutorImpl:
             exit_code = (kind, user_exit)
         else:
             exit_code = ("SessionLimit",)
+        if exit_code[0] != "Paused":
+            lib.r0_session_free(self._session)
+            self._session = None
         # On Halted the session post state root is zeroed (reference
         # host/server/exec/executor.rs:279-282), making the final claim
         # digest-comparable with ReceiptClaim::ok.

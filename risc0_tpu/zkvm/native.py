@@ -158,6 +158,25 @@ def _configure(l):
         C.POINTER(C.c_uint8), C.POINTER(C.c_uint64), C.c_uint64,
         C.POINTER(C.c_uint32), C.c_uint64,
         C.POINTER(C.c_uint32), C.c_void_p, PREFLIGHT_FN]
+    l.r0_machine_fork.restype = C.c_void_p
+    l.r0_machine_fork.argtypes = [C.c_void_p, C.c_void_p, HOST_READ_FN,
+                                  HOST_WRITE_FN, C.POINTER(C.c_void_p)]
+    l.r0_machine_fork_run.restype = C.c_int
+    l.r0_machine_fork_run.argtypes = [C.c_void_p, C.c_uint64]
+    l.r0_machine_terminate.restype = None
+    l.r0_machine_terminate.argtypes = [C.c_void_p, C.c_uint32, C.c_uint32]
+    l.r0_machine_fork_free.restype = None
+    l.r0_machine_fork_free.argtypes = [C.c_void_p, C.c_void_p]
+    l.r0_session_create.restype = C.c_void_p
+    l.r0_session_create.argtypes = [C.c_char_p, C.c_uint64, C.c_char_p,
+                                    C.c_uint64]
+    l.r0_session_run.restype = C.c_int
+    l.r0_session_run.argtypes = [
+        C.c_void_p, C.c_uint32, C.c_uint64, C.POINTER(C.c_uint32),
+        C.c_void_p, HOST_READ_FN, HOST_WRITE_FN,
+        C.c_void_p, SEGMENT_FN, C.POINTER(R0Result)]
+    l.r0_session_free.restype = None
+    l.r0_session_free.argtypes = [C.c_void_p]
     l.r0_page_digest.restype = C.c_int
     l.r0_page_digest.argtypes = [C.c_char_p, C.POINTER(C.c_uint32)]
     l.r0_digest_pair.restype = C.c_int
