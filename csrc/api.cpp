@@ -563,4 +563,23 @@ void r0_session_free(void* session) {
   delete static_cast<SessionState*>(session);
 }
 
+void r0_session_enable_profile(void* session) {
+  static_cast<SessionState*>(session)->profile_enabled = true;
+}
+
+uint64_t r0_session_profile_size(void* session) {
+  return static_cast<SessionState*>(session)->profile.size();
+}
+
+void r0_session_profile_read(void* session, uint32_t* pcs,
+                             uint64_t* cycles) {
+  auto* ss = static_cast<SessionState*>(session);
+  size_t i = 0;
+  for (const auto& [pc, n] : ss->profile) {
+    pcs[i] = pc;
+    cycles[i] = n;
+    i++;
+  }
+}
+
 }  // extern "C"

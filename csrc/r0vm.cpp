@@ -535,6 +535,7 @@ struct Machine {
   std::vector<uint32_t> write_record;
   HostIO* io = nullptr;
   Recorder* rec = nullptr;
+  std::unordered_map<uint32_t, uint64_t>* prof = nullptr;  // pc -> cycles
 
   explicit Machine(MemoryImage& image) : pager(image) {}
 
@@ -1447,6 +1448,7 @@ ExecResult execute_run(SessionState& ss, uint32_t segment_po2,
   io.machine_handle = &m;
   m.input_digest = input_digest;
   m.session_user_cycles = ss.prior_user_cycles;
+  if (ss.profile_enabled) m.prof = &ss.profile;
   m.resume();
 
   ExecResult res;
@@ -1539,7 +1541,15 @@ ExecResult execute_run(SessionState& ss, uint32_t segment_po2,
                 m.machine_mode ? m.pager.machine_registers[5] : m.pager.user_registers[5]);
     }
     try {
-      if (!m.step()) break;
+      if (m.prof) {
+        uint32_t pc0 = m.pc;
+        uint64_t c0 = m.session_user_cycles;
+        bool cont = m.step();
+        (*m.prof)[pc0] += m.session_user_cycles - c0;
+        if (!cont) break;
+      } else if (!m.step()) {
+        break;
+      }
     } catch (...) {
       dump_trace();
       throw;
@@ -1568,7 +1578,8 @@ ExecResult execute_run(SessionState& ss, uint32_t segment_po2,
 ExecResult execute(MemoryImage image, uint32_t segment_po2,
                    uint64_t max_cycles, const Digest& input_digest,
                    HostIO& io, void* seg_user, SegmentFn seg_fn) {
-  SessionState ss{std::move(image), 0, 0};
+  SessionState ss;
+  ss.rolling = std::move(image);
   return execute_run(ss, segment_po2, max_cycles, input_digest, io, seg_user,
                      seg_fn);
 }

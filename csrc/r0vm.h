@@ -17,6 +17,7 @@
 #include <set>
 #include <stdexcept>
 #include <string>
+#include <unordered_map>
 #include <vector>
 
 namespace r0 {
@@ -228,6 +229,10 @@ struct SessionState {
   MemoryImage rolling;
   uint64_t segment_counter = 0;
   uint64_t prior_user_cycles = 0;
+  // flat cycle profile (reference host/server/exec/profiler.rs): pc ->
+  // cycles spent on instructions starting at that pc
+  bool profile_enabled = false;
+  std::unordered_map<uint32_t, uint64_t> profile;
 };
 
 ExecResult execute_run(SessionState& ss, uint32_t segment_po2,

@@ -416,6 +416,74 @@ def join() -> "Program":
     return a.program(RECURSION_PO2)
 
 
+def _word_pairs(gen: Gen, word_cells):
+    """Split full-word cells into (lo,hi) pair-format cells: lo via
+    bit_and_elem, hi via (w - lo) * 2^-16, combined as lo + hi*x."""
+    a = gen.a
+    x1 = gen.x_pows()[0]
+    inv16 = a.const(pow(1 << 16, P - 2, P))
+    pairs = []
+    for w in word_cells:
+        lo = a.bit_and_elem(w, a.const(0xFFFF))
+        hi = a.mul(a.sub(w, lo), inv16)
+        pairs.append(a.add(lo, a.mul(hi, x1)))
+    return pairs
+
+
+def _pairs_from_halfs(gen: Gen, halfs16):
+    """16 half cells -> 8 pair-format digest cells (lo + hi*x)."""
+    a = gen.a
+    x1 = gen.x_pows()[0]
+    return [a.add(halfs16[2 * i], a.mul(halfs16[2 * i + 1], x1))
+            for i in range(8)]
+
+
+def union() -> "Program":
+    """Union predicate: verify two succinct (recursion) seals and bind
+    them into one UnionClaim (reference host/recursion/prove/mod.rs:
+    185-213; claim/receipt.rs UnionClaim).  The host sorts the two
+    assumption digests (left <= right big-endian) before proving; the
+    canonical sorted digest is what MMR consumers expect.
+
+    Input tape:
+      control_root (8 raw words)
+      [incl index, 8 sibling digests] ++ left seal
+      [incl index, 8 sibling digests] ++ right seal
+    Output: [control_root | union claim digest halfs].
+    """
+    a = Asm()
+    gen = Gen(a)
+    root_words, _ = _read_raw_words(gen, 8)
+    a._flush()
+    root_echo = [a.add(w, 0) for w in root_words]
+    assert root_echo == list(range(root_echo[0], root_echo[0] + 8))
+    root_abs = [a.mul(w, a.const(pow(F.R % P, P - 2, P)))
+                for w in root_words]
+    root_pairs = _word_pairs(gen, root_words)
+
+    left_halfs = _verify_inner_succinct(gen, root_words, root_abs)
+    right_halfs = _verify_inner_succinct(gen, root_words, root_abs)
+
+    # assumption digests: Assumption{claim, control_root=allowed root}
+    # (to_assumption(false) semantics, mmr.rs:103-111)
+    left_assum = tagged_sha(
+        gen, "risc0.Assumption",
+        [_pairs_from_halfs(gen, left_halfs), root_pairs], [])
+    right_assum = tagged_sha(
+        gen, "risc0.Assumption",
+        [_pairs_from_halfs(gen, right_halfs), root_pairs], [])
+    union_claim = tagged_sha(
+        gen, "risc0.UnionClaim", [left_assum, right_assum], [])
+
+    a.set_global(root_echo[0], 0)
+    a.set_global(root_echo[4], 1)
+    a.set_global(union_claim[0], 2)
+    a.set_global(union_claim[4], 3)
+    for c in root_echo + union_claim:
+        a.output(c)
+    return a.program(RECURSION_PO2)
+
+
 def identity() -> "Program":
     """Identity predicate: verify one succinct (recursion) seal and re-emit
     its claim unchanged (reference host/recursion/prove/mod.rs:355-392

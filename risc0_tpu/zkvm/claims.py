@@ -143,6 +143,18 @@ class Assumption:
 
 
 @dataclass
+class UnionClaim:
+    """Claim binding two assumptions into one (reference claim/
+    receipt.rs:379-392); `left` is the lesser digest big-endian."""
+
+    left: np.ndarray
+    right: np.ndarray
+
+    def digest(self) -> np.ndarray:
+        return tagged_struct("risc0.UnionClaim", [self.left, self.right], [])
+
+
+@dataclass
 class Assumptions:
     items: list = field(default_factory=list)  # list[MaybePruned[Assumption]]
 

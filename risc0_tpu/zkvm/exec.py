@@ -73,6 +73,15 @@ class ExecutorEnv:
     fork_max_cycles: int = 1 << 32  # unconstrained-child safety limit
     write_fds: dict = field(default_factory=dict)  # fd -> file-like
     read_fds: dict = field(default_factory=dict)   # fd -> file-like
+    # guest cycle profiler (reference host/client/env.rs enable_profiler /
+    # trace_callback); set to a zkvm.profiler.Profiler to collect pc->cycles
+    profiler: object | None = None
+
+    def enable_profiler(self) -> "ExecutorEnv":
+        from .profiler import Profiler
+
+        self.profiler = Profiler()
+        return self
 
     def write_slice(self, data: bytes) -> "ExecutorEnv":
         self.input += bytes(data)
@@ -662,6 +671,10 @@ class ExecutorImpl:
                 self.kernel_elf, len(self.kernel_elf))
             if not self._session:
                 raise RuntimeError(lib.r0_last_error().decode())
+            if self.env.profiler is not None:
+                lib.r0_session_enable_profile(self._session)
+                self.env.profiler.elfs.extend(
+                    [self.user_elf, self.kernel_elf])
 
         result = native.R0Result()
         input_digest = (C.c_uint32 * 8)()  # zero digest default
@@ -686,6 +699,12 @@ class ExecutorImpl:
             exit_code = (kind, user_exit)
         else:
             exit_code = ("SessionLimit",)
+        if self.env.profiler is not None:
+            from .profiler import read_profile
+
+            pcs, cyc = read_profile(lib, self._session)
+            self.env.profiler.samples.clear()
+            self.env.profiler.add_samples(pcs, cyc)
         if exit_code[0] != "Paused":
             lib.r0_session_free(self._session)
             self._session = None

@@ -175,6 +175,13 @@ def _configure(l):
         C.c_void_p, C.c_uint32, C.c_uint64, C.POINTER(C.c_uint32),
         C.c_void_p, HOST_READ_FN, HOST_WRITE_FN,
         C.c_void_p, SEGMENT_FN, C.POINTER(R0Result)]
+    l.r0_session_enable_profile.restype = None
+    l.r0_session_enable_profile.argtypes = [C.c_void_p]
+    l.r0_session_profile_size.restype = C.c_uint64
+    l.r0_session_profile_size.argtypes = [C.c_void_p]
+    l.r0_session_profile_read.restype = None
+    l.r0_session_profile_read.argtypes = [
+        C.c_void_p, C.POINTER(C.c_uint32), C.POINTER(C.c_uint64)]
     l.r0_session_free.restype = None
     l.r0_session_free.argtypes = [C.c_void_p]
     l.r0_page_digest.restype = C.c_int

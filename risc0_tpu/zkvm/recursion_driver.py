@@ -129,6 +129,69 @@ def identity_p254(inner: SuccinctReceipt) -> SuccinctReceipt:
     return receipt
 
 
+def _assumption_digest(receipt: SuccinctReceipt) -> np.ndarray:
+    """Assumption{claim, control_root=receipt's allowed root}.digest()
+    (reference receipt/succinct.rs to_assumption(false))."""
+    from .claims import Assumption
+
+    return Assumption(np.asarray(receipt.claim.digest(), np.uint32),
+                      np.asarray(receipt.control_root, np.uint32)).digest()
+
+
+def union(a: SuccinctReceipt, b: SuccinctReceipt) -> SuccinctReceipt:
+    """Two SuccinctReceipts -> one SuccinctReceipt[UnionClaim] (reference
+    host/recursion/prove/mod.rs:185-213).  Operands are sorted so the
+    lesser assumption digest (big-endian) is on the left."""
+    from .claims import UnionClaim
+
+    da, db = _assumption_digest(a), _assumption_digest(b)
+    # order matches the reference's Digest Ord: lexicographic on u32 words
+    if tuple(int(w) for w in da) <= tuple(int(w) for w in db):
+        left, right, dl, dr = a, b, da, db
+    else:
+        left, right, dl, dr = b, a, db, da
+
+    ids, leaves, root = _allowed()
+    group = MerkleGroup(leaves)
+    prog = load_own_program("union")
+    tape = [int(w) for w in np.asarray(root, np.uint32)]
+    for r in (left, right):
+        tape += _proof_words(group, r.control_id)
+        tape += [int(w) for w in np.asarray(r.seal, np.uint32)]
+    claim = UnionClaim(left=dl, right=dr)
+    receipt = prove_zkr(prog, ids["union"], leaves, tape, claim=claim)
+    if not np.array_equal(receipt_claim_digest(receipt), claim.digest()):
+        raise VerificationError("union output claim digest mismatch")
+    return receipt
+
+
+class MerkleMountainAccumulator:
+    """Accumulate receipts into a single union receipt with a log-depth
+    merge tree (reference zkvm/src/mmr.rs:22-95).  `merge` defaults to
+    the union prover; inject a cheap merge for dev-mode tests."""
+
+    def __init__(self, merge=None):
+        self.merge = merge or union
+        self.peaks: list = []  # list of (height, item), back = smallest
+
+    def insert(self, item):
+        height = 0
+        while self.peaks and self.peaks[-1][0] == height:
+            _, other = self.peaks.pop()
+            item = self.merge(item, other)
+            height += 1
+        self.peaks.append((height, item))
+
+    def root(self):
+        if not self.peaks:
+            raise ValueError("no elements in MMR")
+        items = [it for _h, it in self.peaks]
+        acc = items[0]
+        for nxt in items[1:]:
+            acc = self.merge(acc, nxt)
+        return acc
+
+
 def compress_composite(composite) -> SuccinctReceipt:
     """Lift every segment receipt and left-fold joins (reference
     prover_impl.rs:183-213 compress)."""

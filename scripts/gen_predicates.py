@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--join", action="store_true")
     ap.add_argument("--resolve", action="store_true")
     ap.add_argument("--identity", action="store_true")
+    ap.add_argument("--union", action="store_true")
     a = ap.parse_args()
 
     from risc0_tpu.circuit.recursion import predicates as pr
@@ -58,6 +59,7 @@ def main():
         (a.join, "join", pr.join),
         (a.resolve, "resolve", pr.resolve),
         (a.identity, "identity", pr.identity),
+        (a.union, "union", pr.union),
     ):
         if not flag:
             continue
