@@ -8,7 +8,8 @@ Mirrors the reference's kameo actor system structure (r0vm/src/actors/
     balancing;
   * a ProofJob runs the streaming DAG: Execute emits segments ->
     ProveSegment -> Lift -> greedy adjacent-range binary Join tree
-    (job/proof.rs:307-326) -> Resolve chain;
+    (job/proof.rs:307-326) -> Union tree over coprocessor receipts
+    (union_peak.rs) -> Resolve chain for recorded assumptions;
   * heterogeneous pools: execute/preflight on CPU workers, prove/lift/join
     on TPU workers (reference actors/worker.rs:78-607).
 
@@ -134,12 +135,17 @@ class ProofJob:
     _next_id = [0]
 
     def __init__(self, factory: Factory, prover, env, elf: bytes,
-                 receipt_kind: str = "succinct"):
+                 receipt_kind: str = "succinct", coproc_receipts=None):
         self.factory = factory
         self.prover = prover
         self.env = env
         self.elf = elf
         self.receipt_kind = receipt_kind
+        # already-proven coprocessor receipts (e.g. keccak) to be merged
+        # into one union receipt (reference job/proof.rs keccak path +
+        # union_peak.rs MMR)
+        self.coproc_receipts = list(coproc_receipts or [])
+        self.union_receipt = None
         ProofJob._next_id[0] += 1
         self.job_id = ProofJob._next_id[0]
         self._task_counter = 0
@@ -208,7 +214,39 @@ class ProofJob:
                 try_join()
 
         assert len(lifted) == 1, f"join tree did not converge: {lifted}"
-        return session, lifted[0].receipt
+        root = lifted[0].receipt
+
+        # union tree over coprocessor receipts: pair adjacent peaks per
+        # round, log-depth (reference union_peak.rs MMR merge)
+        items = list(self.coproc_receipts)
+        while len(items) > 1:
+            pending = 0
+            for i in range(0, len(items) - 1, 2):
+                self._submit(TaskKind.UNION, (items[i], items[i + 1]))
+                pending += 1
+            carry = [items[-1]] if len(items) % 2 else []
+            results = []
+            for _ in range(pending):
+                done = chan.get()
+                if done.error is not None:
+                    raise done.error
+                results.append(done.result)
+            items = results + carry
+        if items:
+            self.union_receipt = items[0]
+
+        # resolve chain: strip each recorded assumption head-first
+        # (reference job/proof.rs:363-399 resolve phase; sequential because
+        # each resolve consumes the previous conditional receipt)
+        for _assum, receipt in getattr(session, "assumptions_used", []):
+            if receipt is None:
+                continue
+            self._submit(TaskKind.RESOLVE, (root, receipt))
+            done = chan.get()
+            if done.error is not None:
+                raise done.error
+            root = done.result
+        return session, root
 
 
 def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
@@ -233,6 +271,12 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
         if task.kind == TaskKind.JOIN:
             a, b = task.payload
             return prover.join(a.receipt, b.receipt)
+        if task.kind == TaskKind.UNION:
+            a, b = task.payload
+            return prover.union(a, b)
+        if task.kind == TaskKind.RESOLVE:
+            conditional, assumption = task.payload
+            return prover.resolve(conditional, assumption)
         raise RuntimeError(f"accel worker got {task.kind}")
 
     workers = []
@@ -241,6 +285,7 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
                               f"cpu-{i}").start())
     for i in range(num_accel):
         workers.append(Worker(
-            factory, [TaskKind.PROVE_SEGMENT, TaskKind.LIFT, TaskKind.JOIN],
+            factory, [TaskKind.PROVE_SEGMENT, TaskKind.LIFT, TaskKind.JOIN,
+                      TaskKind.UNION, TaskKind.RESOLVE],
             accel_processor, f"accel-{i}").start())
     return workers

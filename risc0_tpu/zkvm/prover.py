@@ -40,6 +40,7 @@ class DevModeDelay:
     lift: float = 0.0
     join: float = 0.0
     resolve: float = 0.0
+    union: float = 0.0
 
 
 @dataclass
@@ -68,6 +69,9 @@ class ProverServer:
         raise NotImplementedError
 
     def resolve(self, conditional, assumption):
+        raise NotImplementedError
+
+    def union(self, a, b):
         raise NotImplementedError
 
 
@@ -128,6 +132,20 @@ class DevModeProver(ProverServer):
         return FakeReceipt(ReceiptClaim(
             pre=claim.pre, post=claim.post, exit_code=claim.exit_code,
             input=claim.input, output=MaybePruned.of(new_out)))
+
+    def union(self, a, b):
+        """Fake union: bind both claim digests into a UnionClaim, sorted
+        like the real prover (reference mmr.rs Ord on digests)."""
+        self._sleep(self.delay.union)
+        import numpy as np
+
+        from .claims import UnionClaim
+
+        da = np.asarray(a.claim.digest(), np.uint32)
+        db = np.asarray(b.claim.digest(), np.uint32)
+        if tuple(int(w) for w in db) < tuple(int(w) for w in da):
+            da, db = db, da
+        return FakeReceipt(UnionClaim(left=da, right=db))
 
 
 class ProverImpl(ProverServer):
@@ -204,6 +222,22 @@ class ProverImpl(ProverServer):
         seal = rv_prove_segment(seg)
         return SegmentReceipt(seal=seal, index=getattr(seg, "index", 0),
                               hashfn=self.opts.hashfn, claim=claim)
+
+    def lift(self, segment_receipt):
+        from . import recursion_driver
+        return recursion_driver.lift(segment_receipt)
+
+    def join(self, a, b):
+        from . import recursion_driver
+        return recursion_driver.join(a, b)
+
+    def resolve(self, conditional, assumption):
+        from . import recursion_driver
+        return recursion_driver.resolve(conditional, assumption)
+
+    def union(self, a, b):
+        from . import recursion_driver
+        return recursion_driver.union(a, b)
 
 
 def get_prover_server(opts: ProverOpts | None = None) -> ProverServer:

@@ -101,6 +101,58 @@ def join(left: SuccinctReceipt, right: SuccinctReceipt) -> SuccinctReceipt:
     return receipt
 
 
+def resolve(conditional: SuccinctReceipt,
+            assumption: SuccinctReceipt) -> SuccinctReceipt:
+    """Remove the head assumption from a conditional receipt's claim
+    (reference host/recursion/prove/mod.rs:214-258).  The conditional's
+    claim must carry an unpruned Output whose head assumption is
+    `assumption`'s claim with the zero ("self") control root."""
+    from .claims import (Assumptions, MaybePruned, Output, ReceiptClaim,
+                         opt_digest)
+
+    claim = conditional.claim
+    out = claim.output.value if hasattr(claim.output, "value") \
+        else claim.output
+    if out is None or not out.assumptions.value.items:
+        raise VerificationError("conditional receipt has no assumptions")
+    items = out.assumptions.value.items
+    head = items[0]
+    head_claim = head.value.claim if hasattr(head, "value") else head.claim
+    head_claim = np.asarray(
+        head_claim if isinstance(head_claim, np.ndarray)
+        else head_claim.digest(), np.uint32)
+    rest_digest = Assumptions(list(items[1:])).digest()
+    journal = np.asarray(out.journal if isinstance(out.journal, np.ndarray)
+                         else out.journal.digest(), np.uint32)
+
+    ids, leaves, root = _allowed()
+    group = MerkleGroup(leaves)
+    prog = load_own_program("resolve")
+    sys_exit, user_exit = claim.exit_code.into_pair()
+    tape = [int(w) for w in np.asarray(root, np.uint32)]
+    tape += _proof_words(group, conditional.control_id)
+    tape += [int(w) for w in np.asarray(conditional.seal, np.uint32)]
+    for d in (opt_digest(claim.input), claim.pre.digest(),
+              claim.post.digest()):
+        tape += [int(w) for w in np.asarray(d, np.uint32)]
+    tape += [sys_exit, user_exit]
+    for d in (journal, head_claim, rest_digest):
+        tape += [int(w) for w in np.asarray(d, np.uint32)]
+    tape += _proof_words(group, assumption.control_id)
+    tape += [int(w) for w in np.asarray(assumption.seal, np.uint32)]
+
+    resolved = ReceiptClaim(
+        pre=claim.pre, post=claim.post, exit_code=claim.exit_code,
+        input=claim.input,
+        output=MaybePruned.of(Output(
+            MaybePruned.from_digest(journal),
+            MaybePruned.from_digest(rest_digest))))
+    receipt = prove_zkr(prog, ids["resolve"], leaves, tape, claim=resolved)
+    if not np.array_equal(receipt_claim_digest(receipt), resolved.digest()):
+        raise VerificationError("resolve output claim digest mismatch")
+    return receipt
+
+
 def identity_p254(inner: SuccinctReceipt) -> SuccinctReceipt:
     """SuccinctReceipt (poseidon2) -> SuccinctReceipt (poseidon254): the
     stark-to-snark wrap input (reference host/recursion/prove/mod.rs:355-392).

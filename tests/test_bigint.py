@@ -14,10 +14,8 @@ import os
 import numpy as np
 import pytest
 
-BLOBS = "/root/reference/risc0/bigint2/src"
-
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(BLOBS), reason="reference bigint2 blobs not present")
+BLOBS = os.path.join(os.path.dirname(__file__), "..", "risc0_tpu", "zkvm",
+                     "data", "bigint2")  # vendored released program blobs
 
 
 @pytest.fixture(scope="module")
@@ -155,3 +153,16 @@ def test_bad_magic_rejected(lib):
     prog = np.zeros(32, np.uint8)
     rc = lib.r0_bibc_eval(prog, len(prog), m.mem, len(m.mem), m.regs, 0)
     assert rc != 0
+
+
+def test_bigint2_registry_and_host_api():
+    """Vendored bigint2 program registry (guest crate equivalent,
+    reference risc0/bigint2/src/lib.rs) + host modmul helper."""
+    from risc0_tpu.zkvm import bigint2
+
+    names = bigint2.program_names()
+    assert "field/modmul_256" in names and "ec/ec_add_256" in names
+    assert len(names) >= 20
+    assert bigint2.modmul(A, B, M25519) == A * B % M25519
+    p384 = (1 << 383) - 187
+    assert bigint2.modmul(A, B, p384, width=384) == A * B % p384

@@ -60,3 +60,104 @@ def test_join_tree_with_simulated_latency(loop_elf):
     session, receipt = run_job(loop_elf, count, po2=16, delay=delay,
                                num_accel=4)
     assert receipt.claim.exit_code.kind == "Halted"
+
+
+def test_union_tree_over_coproc_receipts(loop_elf):
+    """Coprocessor receipts merge through UNION tasks into one union
+    receipt (reference union_peak.rs MMR) alongside the main DAG."""
+    from risc0_tpu.zkvm.claims import UnionClaim
+    from risc0_tpu.zkvm.receipt import FakeReceipt
+    from risc0_tpu.zkvm.recursion_driver import MerkleMountainAccumulator
+
+    factory = Factory()
+    prover = DevModeProver()
+    workers = make_local_pools(factory, prover, num_cpu=1, num_accel=2)
+    try:
+        env = ExecutorEnv(segment_po2=16).write_slice(
+            (10).to_bytes(4, "little"))
+        coproc = [FakeReceipt(_claim_stub(i)) for i in range(5)]
+        job = ProofJob(factory, prover, env, loop_elf,
+                       coproc_receipts=coproc)
+        _session, receipt = job.run()
+        assert receipt.claim.exit_code.kind == "Halted"
+        assert isinstance(job.union_receipt.claim, UnionClaim)
+        # same receipts through the host-side MMR give a union too
+        mmr = MerkleMountainAccumulator(merge=prover.union)
+        for r in coproc:
+            mmr.insert(r)
+        assert isinstance(mmr.root().claim, UnionClaim)
+    finally:
+        for w in workers:
+            w.stop()
+
+
+def _claim_stub(i):
+    from risc0_tpu.zkvm.claims import (ExitCode, MaybePruned, ReceiptClaim,
+                                       SystemState)
+
+    state = SystemState(0, np.full(8, i + 1, np.uint32))
+    return ReceiptClaim(pre=MaybePruned.of(state), post=MaybePruned.of(state),
+                        exit_code=ExitCode("Halted", 0), input=None,
+                        output=None)
+
+
+def test_resolve_chain_strips_assumptions(loop_elf):
+    """Session assumptions feed RESOLVE tasks after the join tree
+    (reference job/proof.rs resolve phase): each resolve strips the head
+    assumption from the conditional claim's output."""
+    from risc0_tpu.zkvm.claims import (Assumption, Assumptions, MaybePruned,
+                                       Output)
+    from risc0_tpu.zkvm.exec import ExecutorImpl
+    from risc0_tpu.zkvm.receipt import FakeReceipt
+    from risc0_tpu.parallel.scheduler import Task, Worker
+
+    factory = Factory()
+    prover = DevModeProver()
+    assum_receipts = [FakeReceipt(_claim_stub(7)), FakeReceipt(_claim_stub(9))]
+
+    def cpu_processor(task):
+        env, elf = task.payload
+        session = ExecutorImpl(env, elf).run()
+        # simulate a guest that called env::verify twice
+        session.assumptions_used = [
+            (Assumption(np.asarray(r.claim.digest(), np.uint32),
+                        np.zeros(8, np.uint32)), r)
+            for r in assum_receipts]
+        return session
+
+    def accel_processor(task):
+        if task.kind == TaskKind.PROVE_SEGMENT:
+            seg, claim = task.payload
+            # conditional segment claim: carries both assumptions
+            assums = Assumptions([MaybePruned.of(Assumption(
+                np.asarray(r.claim.digest(), np.uint32),
+                np.zeros(8, np.uint32))) for r in assum_receipts])
+            claim.output = MaybePruned.of(
+                Output(MaybePruned.from_digest(np.zeros(8, np.uint32)),
+                       MaybePruned.of(assums)))
+            return prover.prove_segment(seg, claim)
+        if task.kind == TaskKind.LIFT:
+            return prover.lift(task.payload[1])
+        if task.kind == TaskKind.JOIN:
+            a, b = task.payload
+            return prover.join(a.receipt, b.receipt)
+        if task.kind == TaskKind.RESOLVE:
+            return prover.resolve(*task.payload)
+        raise RuntimeError(task.kind)
+
+    workers = [
+        Worker(factory, [TaskKind.EXECUTE], cpu_processor, "cpu").start(),
+        Worker(factory, [TaskKind.PROVE_SEGMENT, TaskKind.LIFT,
+                         TaskKind.JOIN, TaskKind.RESOLVE],
+               accel_processor, "accel").start()]
+    try:
+        env = ExecutorEnv(segment_po2=16).write_slice(
+            (10).to_bytes(4, "little"))
+        job = ProofJob(factory, prover, env, loop_elf)
+        _session, receipt = job.run()
+        # both assumptions stripped: output's assumption list is empty
+        out = receipt.claim.output.value
+        assert len(out.assumptions.value.items) == 0
+    finally:
+        for w in workers:
+            w.stop()
