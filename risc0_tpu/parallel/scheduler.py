@@ -264,7 +264,9 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
     def accel_processor(task: Task):
         if task.kind == TaskKind.PROVE_SEGMENT:
             seg, claim = task.payload
-            return prover.prove_segment(seg, claim)
+            from ..zkvm.exec import resolve_segment
+
+            return prover.prove_segment(resolve_segment(seg), claim)
         if task.kind == TaskKind.LIFT:
             _, segment_receipt = task.payload
             return prover.lift(segment_receipt)

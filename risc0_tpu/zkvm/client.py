@@ -2,8 +2,10 @@
 prove/{mod,default,local,external}.rs).
 
 `default_prover()` selects the backend from the RISC0_PROVER env var:
-  * "local" — in-process ProverServer (dev-mode until the circuit prover)
-  * "ipc"   — proxies to a remote REST API (RISC0_API_URL)
+  * "local"  — in-process ProverServer (dev-mode until the circuit prover)
+  * "ipc"    — protobuf-over-TCP prover server (zkvm/ipc.py, the
+               reference's `r0vm` external prover protocol)
+  * "bonsai" — REST API with Bonsai-compatible routes (RISC0_API_URL)
 Anything else errors, mirroring the reference's named-prover dispatch.
 """
 
@@ -71,6 +73,31 @@ class ExternalProver:
         return st
 
 
+class IpcProver:
+    """Protobuf-socket prover (reference host/client/prove/external.rs:
+    the client spawns an r0vm server and talks api.proto over TCP)."""
+
+    def __init__(self, opts: ProverOpts | None = None):
+        self.opts = opts or ProverOpts()
+        self._client = None
+
+    def _get(self):
+        if self._client is None:
+            from .ipc import ApiClient
+
+            self._client = ApiClient(spawn=True)
+        return self._client
+
+    def prove(self, env: ExecutorEnv, elf: bytes):
+        receipt = self._get().prove(env, elf, self.opts)
+        return ProveInfo(receipt=receipt, session=None)
+
+    def close(self):
+        if self._client is not None:
+            self._client.close()
+            self._client = None
+
+
 class LocalExecutor:
     def execute(self, env: ExecutorEnv, elf: bytes) -> Session:
         return ExecutorImpl(env, elf).run()
@@ -82,6 +109,8 @@ def default_prover():
     if name == "local":
         return LocalProver()
     if name == "ipc":
+        return IpcProver()
+    if name == "bonsai":
         return ExternalProver()
     raise ValueError(f"Unknown prover specified: {name}")
 

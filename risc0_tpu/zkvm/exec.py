@@ -76,6 +76,9 @@ class ExecutorEnv:
     # guest cycle profiler (reference host/client/env.rs enable_profiler /
     # trace_callback); set to a zkvm.profiler.Profiler to collect pc->cycles
     profiler: object | None = None
+    # when set, segments are written here and Session.segments holds
+    # FileSegmentRefs (reference env.rs segment_path + FileSegmentRef)
+    segment_path: str | None = None
 
     def enable_profiler(self) -> "ExecutorEnv":
         from .profiler import Profiler
@@ -128,6 +131,31 @@ class SegmentInfo:
     page_digests: dict   # node_idx -> np.ndarray(8)
     read_record: list
     write_record: list
+
+
+@dataclass
+class FileSegmentRef:
+    """Disk-backed segment reference (reference host/server/exec/
+    executor.rs:144-151 FileSegmentRef): the executor streams segments to
+    `env.segment_path` and the session holds lightweight refs; provers
+    call resolve() to load the full SegmentInfo."""
+
+    path: str
+    index: int
+    po2: int
+    user_cycles: int
+
+    def resolve(self) -> "SegmentInfo":
+        import pickle
+
+        with open(self.path, "rb") as f:
+            return pickle.load(f)
+
+
+def resolve_segment(seg):
+    """SegmentInfo passthrough; FileSegmentRef (or anything with
+    resolve()) is loaded."""
+    return seg.resolve() if hasattr(seg, "resolve") else seg
 
 
 @dataclass
@@ -597,6 +625,26 @@ class ExecutorImpl:
             raise RuntimeError(lib.r0_last_error().decode())
         return SystemState(0, _digest_np(out)).digest()
 
+    def _dump_for_replay(self) -> None:
+        """On execution error, dump everything needed to replay the run
+        offline (reference execute/executor.rs:389-425 RISC0_DUMP_PATH)."""
+        path = os.environ.get("RISC0_DUMP_PATH")
+        if not path:
+            return
+        import pickle
+
+        try:
+            with open(path, "wb") as f:
+                pickle.dump({
+                    "user_elf": self.user_elf,
+                    "kernel_elf": self.kernel_elf,
+                    "input": self.env.input,
+                    "segment_po2": self.env.segment_po2,
+                    "session_limit": self.env.session_limit,
+                }, f)
+        except OSError:
+            pass  # best-effort diagnostic dump
+
     def run(self, segment_callback=None) -> Session:
         lib = native.lib()
         state = _SyscallState(self.env, lib)
@@ -654,7 +702,19 @@ class ExecutorImpl:
                 read_record=reads,
                 write_record=[seg.write_lens[i] for i in range(seg.num_writes)],
             )
-            segments.append(info)
+            if self.env.segment_path is not None:
+                import pickle
+
+                os.makedirs(self.env.segment_path, exist_ok=True)
+                path = os.path.join(self.env.segment_path,
+                                    f"{info.index}.seg")
+                with open(path, "wb") as f:
+                    pickle.dump(info, f)
+                segments.append(FileSegmentRef(
+                    path=path, index=info.index, po2=info.po2,
+                    user_cycles=info.user_cycles))
+            else:
+                segments.append(info)
             if segment_callback:
                 segment_callback(info)
 
@@ -683,6 +743,8 @@ class ExecutorImpl:
             self.env.session_limit or 0,
             input_digest, None, read_cb, write_cb, None, seg_cb,
             C.byref(result))
+        if state.error is not None or rc != 0:
+            self._dump_for_replay()
         if state.error is not None:
             raise state.error
         if rc != 0:

@@ -15,38 +15,9 @@ import struct
 from dataclasses import dataclass, field
 
 
-# ---------------------------------------------------------------------------
-# minimal protobuf wire-format writer (pprof uses only varint + bytes fields)
-
-def _varint(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
-def _tag(field_no: int, wire: int) -> bytes:
-    return _varint((field_no << 3) | wire)
-
-
-def _uint(field_no: int, value: int) -> bytes:
-    if value == 0:
-        return b""
-    return _tag(field_no, 0) + _varint(value)
-
-
-def _bytes_field(field_no: int, payload: bytes) -> bytes:
-    return _tag(field_no, 2) + _varint(len(payload)) + payload
-
-
-def _packed(field_no: int, values) -> bytes:
-    payload = b"".join(_varint(v) for v in values)
-    return _bytes_field(field_no, payload)
+from .proto import bytes_field as _bytes_field
+from .proto import packed as _packed
+from .proto import uint as _uint
 
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from .exec import ExecutorEnv, ExecutorImpl, Session
+from .exec import ExecutorEnv, ExecutorImpl, Session, resolve_segment
 from .receipt import (CompositeReceipt, FakeReceipt, InnerReceipt, Receipt,
                       SegmentReceipt, VerifierContext, is_dev_mode,
                       segment_claim, session_claim)
@@ -167,7 +167,7 @@ class ProverImpl(ProverServer):
         for i, seg in enumerate(session.segments):
             final = i == len(session.segments) - 1
             sc = segment_claim(seg, final, session_exit, output)
-            seal = rv_prove_segment(seg)
+            seal = rv_prove_segment(resolve_segment(seg))
             receipts.append(SegmentReceipt(
                 seal=seal, index=i, hashfn=self.opts.hashfn, claim=sc))
         assumption_receipts = [
@@ -219,7 +219,7 @@ class ProverImpl(ProverServer):
     def prove_segment(self, seg, claim) -> SegmentReceipt:
         from ..circuit.rv32im.prove import prove_segment as rv_prove_segment
 
-        seal = rv_prove_segment(seg)
+        seal = rv_prove_segment(resolve_segment(seg))
         return SegmentReceipt(seal=seal, index=getattr(seg, "index", 0),
                               hashfn=self.opts.hashfn, claim=claim)
 

@@ -331,7 +331,9 @@ def segment_claim(seg, final: bool, session_exit: ExitCode,
                   output: MaybePruned | None) -> ReceiptClaim:
     """ReceiptClaim for one segment of a session."""
     from .claims import SystemState
+    from .exec import resolve_segment
 
+    seg = resolve_segment(seg)  # FileSegmentRef -> SegmentInfo
     exit_code = session_exit if final else ExitCode("SystemSplit")
     # Halted segments have a zeroed post state root in the decoded claim
     # (reference claim/receipt.rs:168-171).

@@ -178,3 +178,55 @@ def test_preflight_suspended_segments(loop_elf):
         _validate_preflight(seg)
     assert s.segments[-1].terminate_state is not None
     _validate_preflight(s.segments[-1])
+
+
+def test_file_segment_refs(tmp_path):
+    """env.segment_path streams segments to disk as FileSegmentRefs
+    (reference executor.rs:144-151); resolve() restores the full segment
+    and dev-mode proving works off the refs."""
+    from risc0_tpu.zkvm.exec import (ExecutorEnv, ExecutorImpl,
+                                     FileSegmentRef, resolve_segment)
+    from risc0_tpu.zkvm.prover import DevModeProver
+
+    elf = open(LOOP_ELF_PATH, "rb").read()
+    env = ExecutorEnv(segment_po2=16, segment_path=str(tmp_path)) \
+        .write_slice((10).to_bytes(4, "little"))
+    session = ExecutorImpl(env, elf).run()
+    assert all(isinstance(s, FileSegmentRef) for s in session.segments)
+    seg = resolve_segment(session.segments[0])
+    assert seg.index == session.segments[0].index
+    assert seg.po2 == session.segments[0].po2
+    assert (tmp_path / "0.seg").exists()
+    # in-memory run produces identical claims
+    env2 = ExecutorEnv(segment_po2=16).write_slice(
+        (10).to_bytes(4, "little"))
+    session2 = ExecutorImpl(env2, elf).run()
+    import numpy as np
+    assert np.array_equal(seg.pre_digest, session2.segments[0].pre_digest)
+    assert np.array_equal(seg.post_digest, session2.segments[0].post_digest)
+    # proving path resolves refs transparently
+    import os
+    os.environ["RISC0_DEV_MODE"] = "1"
+    try:
+        info = DevModeProver().prove_session(session)
+        assert info.receipt.inner.kind == "fake"
+    finally:
+        del os.environ["RISC0_DEV_MODE"]
+
+
+def test_dump_for_replay_on_error(tmp_path, monkeypatch):
+    """RISC0_DUMP_PATH captures the failing run's inputs (reference
+    execute/executor.rs:389-425)."""
+    import pickle
+
+    from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
+
+    dump = tmp_path / "dump.bin"
+    monkeypatch.setenv("RISC0_DUMP_PATH", str(dump))
+    elf = open(LOOP_ELF_PATH, "rb").read()
+    env = ExecutorEnv(segment_po2=12)  # below the executor minimum
+    with pytest.raises(Exception):
+        ExecutorImpl(env, elf).run()
+    blob = pickle.loads(dump.read_bytes())
+    assert blob["user_elf"] == elf
+    assert blob["segment_po2"] == 12

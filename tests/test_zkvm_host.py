@@ -104,6 +104,8 @@ def test_default_prover_selection(monkeypatch):
     p = client.default_prover()
     assert isinstance(p, client.LocalProver)
     monkeypatch.setenv("RISC0_PROVER", "ipc")
+    assert isinstance(client.default_prover(), client.IpcProver)
+    monkeypatch.setenv("RISC0_PROVER", "bonsai")
     assert isinstance(client.default_prover(), client.ExternalProver)
     monkeypatch.setenv("RISC0_PROVER", "bogus")
     with pytest.raises(ValueError, match="Unknown prover"):
