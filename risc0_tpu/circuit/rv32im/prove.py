@@ -77,9 +77,10 @@ def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
     assert (1 << po2) == res["rows"]
     cycles = res["rows"]
 
-    data_m = F.encode_np(res["data"])
-    global_m = F.encode_np(res["global"])
-    code_m = np.zeros((1, cycles), np.uint32)  # zeroized code group
+    with perf.scope("encode_host"):
+        data_m = F.encode_np(res["data"])
+        global_m = F.encode_np(res["global"])
+        code_m = np.zeros((1, cycles), np.uint32)  # zeroized code group
 
     prover = Prover(suite, circuit.taps)
     iop = prover.iop
@@ -95,15 +96,20 @@ def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
     iop.write_field_elems(header)
     prover.set_po2(po2)
 
-    prover.commit_group(REGISTER_GROUP_CODE, jnp.asarray(code_m))
-    prover.commit_group(REGISTER_GROUP_DATA, jnp.asarray(data_m))
+    with perf.scope("to_device.code"):
+        code_d = jnp.asarray(code_m)
+    with perf.scope("to_device.data"):
+        data_d = jnp.asarray(data_m)
+    prover.commit_group(REGISTER_GROUP_CODE, code_d)
+    prover.commit_group(REGISTER_GROUP_DATA, data_d)
 
     mix_m = np.array([iop.random_elem() for _ in range(REGCOUNT_MIX)],
                      np.uint32)
     with perf.scope("witgen_accum"):
         accum = witgen_accum(res, F.decode_np(mix_m))
-    prover.commit_group(REGISTER_GROUP_ACCUM,
-                        jnp.asarray(F.encode_np(accum)))
+    with perf.scope("to_device.accum"):
+        accum_d = jnp.asarray(F.encode_np(accum))
+    prover.commit_group(REGISTER_GROUP_ACCUM, accum_d)
 
     if use_jit:
         hal_obj = Rv32imCircuitHal(circuit)

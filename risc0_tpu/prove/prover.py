@@ -254,10 +254,12 @@ class Prover:
             fri_prove(iop, final_coeffs, inner)
 
         from . import soundness
-        self.soundness = {
-            "proven": soundness.proven(taps, self.cycles * EXT_SIZE),
-            "conjectured": soundness.toy_model_security(taps, self.cycles * EXT_SIZE),
-        }
+        with perf.scope("soundness"):
+            self.soundness = {
+                "proven": soundness.proven(taps, self.cycles * EXT_SIZE),
+                "conjectured": soundness.toy_model_security(
+                    taps, self.cycles * EXT_SIZE),
+            }
         return iop.proof
 
 

@@ -164,9 +164,10 @@ class Handler(BaseHTTPRequestHandler):
         return self._json(404, {"error": "not found"})
 
 
-def serve(port: int = 8000, storage: str = "/tmp/risc0_tpu_api"):
+def serve(port: int = 8000, storage: str = "/tmp/risc0_tpu_api",
+          host: str = "127.0.0.1"):
     Handler.state = AppState(Path(storage))
-    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     return server
 
 

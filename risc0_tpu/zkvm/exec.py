@@ -79,6 +79,9 @@ class ExecutorEnv:
     # when set, segments are written here and Session.segments holds
     # FileSegmentRefs (reference env.rs segment_path + FileSegmentRef)
     segment_path: str | None = None
+    # PoVW job id (zkvm.povw.PovwJobId); provers derive one nonce per
+    # segment and report joined Work (reference env.rs povw(job_id))
+    povw_job_id: object | None = None
 
     def enable_profiler(self) -> "ExecutorEnv":
         from .profiler import Profiler
@@ -173,6 +176,7 @@ class Session:
     output_digest: np.ndarray | None
     pending_keccaks: list = field(default_factory=list)
     assumptions_used: list = field(default_factory=list)
+    povw_job_id: object | None = None
 
 
 class _SyscallState:
@@ -776,6 +780,7 @@ class ExecutorImpl:
         post_state = (np.zeros(8, np.uint32) if exit_code[0] == "Halted"
                       else _digest_np(result.post_state))
         return Session(
+            povw_job_id=self.env.povw_job_id,
             pending_keccaks=state.pending_keccaks,
             assumptions_used=state.assumptions_used,
             segments=segments,

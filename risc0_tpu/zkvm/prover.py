@@ -47,6 +47,9 @@ class DevModeDelay:
 class ProveInfo:
     receipt: Receipt
     session: Session
+    # PoVW work record when the env carried a povw_job_id (reference
+    # prover_impl.rs work claims; host-side accounting here)
+    work: object | None = None
 
 
 class ProverServer:
@@ -98,7 +101,8 @@ class DevModeProver(ProverServer):
             receipts.append(FakeReceipt(sc))
         receipt = Receipt(InnerReceipt("fake", FakeReceipt(claim)),
                           session.journal)
-        return ProveInfo(receipt=receipt, session=session)
+        return ProveInfo(receipt=receipt, session=session,
+                         work=_session_work(session))
 
     def prove_segment(self, seg, claim) -> FakeReceipt:
         self._sleep(self.delay.prove_segment_core)
@@ -189,7 +193,8 @@ class ProverImpl(ProverServer):
         # Self-check before returning (reference prover_impl.rs:155-170).
         ctx = self._verifier_ctx()
         receipt.verify_integrity(ctx)
-        return ProveInfo(receipt=receipt, session=session)
+        return ProveInfo(receipt=receipt, session=session,
+                         work=_session_work(session))
 
     def _verifier_ctx(self) -> VerifierContext:
         from ..circuit.recursion.predicates import own_control_ids
@@ -238,6 +243,14 @@ class ProverImpl(ProverServer):
     def union(self, a, b):
         from . import recursion_driver
         return recursion_driver.union(a, b)
+
+
+def _session_work(session):
+    if getattr(session, "povw_job_id", None) is None:
+        return None
+    from .povw import session_work
+
+    return session_work(session, session.povw_job_id)
 
 
 def get_prover_server(opts: ProverOpts | None = None) -> ProverServer:

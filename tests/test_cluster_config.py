@@ -1,0 +1,137 @@
+"""Cluster config (reference r0vm/src/actors/config.rs + testdata TOMLs):
+parse, validate, and launch a mixed local/remote deployment from a TOML
+description."""
+
+import numpy as np
+import pytest
+
+from risc0_tpu.parallel.config import (AppConfig, launch_cluster,
+                                       load_config)
+from risc0_tpu.parallel.scheduler import ProofJob, TaskKind
+
+DEFAULT_TOML = """
+version = 1
+
+[api]
+listen = "127.0.0.1:0"
+
+[manager]
+listen = "127.0.0.1:0"
+
+[executor]
+count = 1
+
+[[prover]]
+subscribe = [
+  "prove-segment",
+  "prove-keccak",
+  "lift",
+  "join",
+  "union",
+  "resolve",
+]
+"""
+
+
+def test_load_default_toml():
+    cfg = load_config(DEFAULT_TOML)
+    assert cfg.version == 1
+    assert cfg.api.listen == "127.0.0.1:0"
+    assert cfg.executor.count == 1
+    assert len(cfg.provers) == 1
+    # prove-keccak aliases into the segment-prover pool; kinds deduped
+    assert cfg.provers[0].subscribe == [
+        TaskKind.PROVE_SEGMENT, TaskKind.LIFT, TaskKind.JOIN,
+        TaskKind.UNION, TaskKind.RESOLVE]
+
+
+def test_bad_version_and_kind_rejected():
+    with pytest.raises(ValueError, match="version"):
+        load_config("version = 2\n")
+    with pytest.raises(ValueError, match="unknown task kind"):
+        load_config("""
+version = 1
+[[prover]]
+subscribe = ["frobnicate"]
+""")
+
+
+def test_simulate_delays_parsed():
+    cfg = load_config("""
+version = 1
+[[prover]]
+subscribe = ["lift", "join"]
+count = 3
+[prover.simulate]
+lift = 0.01
+join = 0.02
+""")
+    assert cfg.provers[0].count == 3
+    assert cfg.provers[0].simulate == {"lift": 0.01, "join": 0.02}
+
+
+def test_launch_cluster_runs_a_job(monkeypatch):
+    """A config-built deployment (1 executor + 2 sim provers) proves a
+    session end-to-end through the ProofJob DAG."""
+    monkeypatch.setenv("RISC0_DEV_MODE", "1")
+    cfg = load_config("""
+version = 1
+[executor]
+count = 1
+[[prover]]
+count = 2
+subscribe = ["prove-segment", "lift", "join", "union", "resolve"]
+[prover.simulate]
+prove_segment_core = 0.005
+""")
+    cluster = launch_cluster(cfg)
+    try:
+        from risc0_tpu.zkvm.exec import ExecutorEnv
+        from risc0_tpu.zkvm.prover import DevModeProver
+
+        elf = open("guests/loop.bin", "rb").read()
+        env = ExecutorEnv(segment_po2=16).write_slice(
+            (1024 * 494 + 818).to_bytes(4, "little"))
+        job = ProofJob(cluster.factory, DevModeProver(), env, elf)
+        session, receipt = job.run()
+        assert len(session.segments) > 1
+        assert receipt.claim.exit_code.kind == "Halted"
+    finally:
+        cluster.stop()
+
+
+def test_launch_cluster_with_remote_prover(monkeypatch):
+    """A [[prover]] entry with a manager address connects RemoteWorkers
+    over TCP to the manager's factory listener."""
+    monkeypatch.setenv("RISC0_DEV_MODE", "1")
+    manager_cfg = load_config("""
+version = 1
+[manager]
+listen = "127.0.0.1:0"
+[executor]
+count = 1
+""")
+    cluster = launch_cluster(manager_cfg)
+    try:
+        port = cluster.factory_server.addr[1]
+        worker_cfg = load_config(f"""
+version = 1
+[[prover]]
+manager = "127.0.0.1:{port}"
+subscribe = ["prove-segment", "lift", "join", "union", "resolve"]
+""")
+        remote = launch_cluster(worker_cfg)
+        try:
+            from risc0_tpu.zkvm.exec import ExecutorEnv
+            from risc0_tpu.zkvm.prover import DevModeProver
+
+            elf = open("guests/loop.bin", "rb").read()
+            env = ExecutorEnv(segment_po2=16).write_slice(
+                (10).to_bytes(4, "little"))
+            job = ProofJob(cluster.factory, DevModeProver(), env, elf)
+            _session, receipt = job.run()
+            assert receipt.claim.exit_code.kind == "Halted"
+        finally:
+            remote.stop()
+    finally:
+        cluster.stop()
