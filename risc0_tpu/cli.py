@@ -47,7 +47,36 @@ def main(argv=None):
         p.add_argument("--po2", type=int, default=20)
     p = sub.add_parser("verify")
     p.add_argument("--seal", required=True)
+    p = sub.add_parser("serve", help="launch a cluster from a TOML config "
+                       "(reference `r0vm --config`)")
+    p.add_argument("--config", required=True)
+    p = sub.add_parser("port", help="protobuf IPC server: connect back to "
+                       "the client listener (reference `r0vm --port`)")
+    p.add_argument("--port", type=int, required=True)
+    p.add_argument("--host", default="127.0.0.1")
     args = ap.parse_args(argv)
+
+    if args.cmd == "serve":
+        import time as _time
+
+        from .parallel.config import launch_cluster, load_config
+
+        cluster = launch_cluster(load_config(args.config))
+        print(json.dumps({"workers": len(cluster.workers),
+                          "manager": bool(cluster.factory_server),
+                          "api": bool(cluster.api_server)}))
+        try:
+            while True:
+                _time.sleep(1)
+        except KeyboardInterrupt:
+            cluster.stop()
+        return 0
+
+    if args.cmd == "port":
+        from .zkvm.ipc import ApiServer
+
+        ApiServer().connect(args.host, args.port)
+        return 0
 
     if args.cmd == "verify":
         from .circuit.rv32im.verify import verify_rv32im_seal

@@ -336,17 +336,37 @@ def fri_fold(planar_coeffs, mix):
 # Merkle hashing
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("zk", "use_pallas"))
+@jax.jit
+def _fold_tree_p2(leaves):
+    """All Merkle fold layers above the leaves, one compiled graph
+    (reference prove/merkle.rs:54-80).  Shared across every group with the
+    same leaf count — ONE compile per po2 instead of one per group shape,
+    which matters through the remote compile service."""
+    layers = []
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = p2._hash_pairs_impl(cur[0::2], cur[1::2])
+        layers.append(cur)
+    return tuple(layers)
+
+
 def _commit_pipeline_p2(witness, zk: bool = True, use_pallas: bool = False):
     """Fused group commit (Poseidon2 suite): iNTT -> zk-shift -> 4x LDE ->
-    leaf hashes -> full Merkle fold tree, all in ONE compiled graph / ONE
-    device dispatch (the per-layer jit dispatches were ~20 compiles per
-    group and dominated wall clock through the axon relay).
+    leaf hashes in ONE compiled graph / ONE device dispatch, then the
+    shared fold tree (the per-layer jit dispatches were ~20 compiles per
+    group and dominated wall clock through the axon relay; folding inside
+    the per-shape pipeline re-paid the fold compile once per group).
 
     Returns (coeffs_nat, evaluated, layers...) — layers[0] = leaf digests,
     layers[-1] = (1, 8) root.  Mirrors reference prove/prover.rs:38-48 +
     prove/merkle.rs:54-80 semantics.
     """
+    coeffs_nat, evaluated, leaves = _commit_leaves_p2(witness, zk, use_pallas)
+    return (coeffs_nat, evaluated, leaves) + _fold_tree_p2(leaves)
+
+
+@partial(jax.jit, static_argnames=("zk", "use_pallas"))
+def _commit_leaves_p2(witness, zk: bool = True, use_pallas: bool = False):
     coeffs = ntt.interpolate_ntt(witness)
     if zk:
         coeffs = ntt.zk_shift(coeffs)
@@ -358,12 +378,7 @@ def _commit_pipeline_p2(witness, zk: bool = True, use_pallas: bool = False):
         leaves = pk.hash_rows(evaluated)
     else:
         leaves = p2._hash_rows_impl(evaluated)
-    layers = [leaves]
-    cur = leaves
-    while cur.shape[0] > 1:
-        cur = p2._hash_pairs_impl(cur[0::2], cur[1::2])
-        layers.append(cur)
-    return (coeffs_nat, evaluated) + tuple(layers)
+    return coeffs_nat, evaluated, leaves
 
 
 def commit_pipeline(witness, suite_name: str = "poseidon2", zk: bool = True):
@@ -398,12 +413,7 @@ def _check_pipeline_p2(check_poly, check_size: int = 16,
         leaves = pk.hash_rows(evaluated)
     else:
         leaves = p2._hash_rows_impl(evaluated)
-    layers = [leaves]
-    cur = leaves
-    while cur.shape[0] > 1:
-        cur = p2._hash_pairs_impl(cur[0::2], cur[1::2])
-        layers.append(cur)
-    return (coeffs_nat, evaluated) + tuple(layers)
+    return coeffs_nat, evaluated, leaves
 
 
 def check_pipeline(check_poly, suite_name: str = "poseidon2",
@@ -412,9 +422,9 @@ def check_pipeline(check_poly, suite_name: str = "poseidon2",
     if suite_name == "poseidon2":
         rows4 = check_poly.shape[-1]
         use_pallas = (p2._use_pallas() and rows4 >= 512 and rows4 % 512 == 0)
-        out = _check_pipeline_p2(check_poly, check_size=check_size,
-                                 use_pallas=use_pallas)
-        return out[0], out[1], list(out[2:])
+        coeffs_nat, evaluated, leaves = _check_pipeline_p2(
+            check_poly, check_size=check_size, use_pallas=use_pallas)
+        return coeffs_nat, evaluated, [leaves] + list(_fold_tree_p2(leaves))
     coeffs = ntt.interpolate_ntt(check_poly)
     cycles = check_poly.shape[-1] // 4
     coeffs_br = coeffs.reshape(check_size, cycles)
@@ -446,6 +456,17 @@ def merkle_layers(matrix, suite_name: str = "poseidon2"):
         cur = leaves
         while cur.shape[0] > 1:
             cur = p254.hash_pairs(cur[0::2], cur[1::2])
+            layers.append(cur)
+        return layers
+    if suite_name == "blake2b":
+        from ..hash import blake2b as b2
+
+        m = np.asarray(matrix)
+        leaves = b2.hash_rows(m)
+        layers = [leaves]
+        cur = leaves
+        while cur.shape[0] > 1:
+            cur = b2.hash_pairs(cur[0::2], cur[1::2])
             layers.append(cur)
         return layers
     from ..hash import sha256 as sha

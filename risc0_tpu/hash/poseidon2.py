@@ -178,18 +178,23 @@ def hash_pair_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=())
 def _hash_rows_impl(matrix):
+    """Rate-16 absorb as ONE lax.scan over column chunks: the compiled
+    program carries a single permutation body instead of ceil(cols/16)
+    unrolled copies (remote-compile time scales with HLO size; the absorb
+    is sequential either way).  Zero-padding the last partial chunk is
+    exactly the reference's set-with-zero-fill semantics."""
     cols, rows = matrix.shape
+    nchunks = max(1, -(-cols // CELLS_RATE))
+    pad = nchunks * CELLS_RATE - cols
+    mp = jnp.pad(matrix, ((0, pad), (0, 0)))
+    chunks = mp.reshape(nchunks, CELLS_RATE, rows)
+
+    def body(st, chunk):
+        st = st.at[:, :CELLS_RATE].set(chunk.T)
+        return permute(st), None
+
     state = jnp.zeros((rows, CELLS), jnp.uint32)
-    full, rem = divmod(cols, CELLS_RATE)
-    for i in range(full):
-        chunk = matrix[i * CELLS_RATE : (i + 1) * CELLS_RATE].T  # (rows, 16)
-        state = state.at[:, :CELLS_RATE].set(chunk)
-        state = permute(state)
-    if rem != 0 or cols == 0:
-        state = state.at[:, :CELLS_RATE].set(jnp.zeros((rows, CELLS_RATE), jnp.uint32))
-        if rem:
-            state = state.at[:, :rem].set(matrix[full * CELLS_RATE :].T)
-        state = permute(state)
+    state, _ = jax.lax.scan(body, state, chunks)
     return state[:, :CELLS_OUT]
 
 

@@ -99,13 +99,16 @@ class HashSuite:
     """Bundle of hash functions + RNG factory, digest = (8,) uint32 words."""
 
     def __init__(self, name: str):
-        assert name in ("poseidon2", "sha-256", "poseidon254")
+        assert name in ("poseidon2", "sha-256", "poseidon254", "blake2b")
         self.name = name
 
     def new_rng(self):
         if self.name == "poseidon254":
             from .poseidon254 import Poseidon254Rng
             return Poseidon254Rng()
+        if self.name == "blake2b":
+            from .blake2b import Blake2bRng
+            return Blake2bRng()
         return Poseidon2Rng() if self.name == "poseidon2" else ShaRng()
 
     def hash_pair(self, a, b) -> np.ndarray:
@@ -114,6 +117,9 @@ class HashSuite:
         if self.name == "poseidon254":
             from . import poseidon254 as p254
             return p254.hash_pair(a, b)
+        if self.name == "blake2b":
+            from . import blake2b as b2
+            return b2.hash_pair(a, b)
         return sha.hash_pair(a, b)
 
     def hash_elem_slice(self, elems) -> np.ndarray:
@@ -123,14 +129,19 @@ class HashSuite:
         if self.name == "poseidon254":
             from . import poseidon254 as p254
             return p254.unpadded_hash(elems)
+        if self.name == "blake2b":
+            from . import blake2b as b2
+            return b2.hash_elem_slice(elems)
         return sha.hash_raw_words(elems)
 
 
 POSEIDON2 = HashSuite("poseidon2")
 SHA256 = HashSuite("sha-256")
 POSEIDON254 = HashSuite("poseidon254")
+BLAKE2B = HashSuite("blake2b")
 
 
 def get_suite(name: str) -> HashSuite:
     return {"poseidon2": POSEIDON2, "sha256": SHA256, "sha-256": SHA256,
-            "poseidon254": POSEIDON254, "poseidon_254": POSEIDON254}[name]
+            "poseidon254": POSEIDON254, "poseidon_254": POSEIDON254,
+            "blake2b": BLAKE2B}[name]

@@ -157,10 +157,10 @@ class _FriRoundVerifier:
 class Verifier:
     """reference: risc0/zkp/src/verify/mod.rs:160-492"""
 
-    def __init__(self, taps, suite, seal):
+    def __init__(self, taps, suite, seal, iop_cls=ReadIOP):
         self.taps = taps
         self.suite = suite
-        self.iop = ReadIOP(suite, seal)
+        self.iop = iop_cls(suite, seal)
         self.po2 = None
         self.tot_cycles = 0
         self.merkle_verifiers = [None] * taps.num_groups
@@ -345,7 +345,7 @@ def _scalar_at(val, j: int) -> np.ndarray:
     return out
 
 
-def verify(circuit, suite, seal, check_code):
+def verify(circuit, suite, seal, check_code, iop_cls=ReadIOP):
     """Full protocol entry (reference verify/mod.rs:500-563).
 
     circuit must provide: taps, CIRCUIT_INFO (bytes), OUTPUT_SIZE, MIX_SIZE,
@@ -357,7 +357,7 @@ def verify(circuit, suite, seal, check_code):
 
     if len(seal) == 0:
         raise VerificationError("empty seal")
-    v = Verifier(circuit.taps, suite, seal)
+    v = Verifier(circuit.taps, suite, seal, iop_cls=iop_cls)
     v.commit_circuit_info(circuit.CIRCUIT_INFO)
     out, po2 = v.read_slice_with_po2(circuit.OUTPUT_SIZE)
     code_root = v.verify_group(REGISTER_GROUP_CODE)

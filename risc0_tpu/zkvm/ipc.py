@@ -254,13 +254,25 @@ class ApiClient:
     """Binds a listener, launches (or accepts) a prover server, then issues
     typed requests (reference api/client.rs)."""
 
-    def __init__(self, spawn: bool = True, prover=None):
+    def __init__(self, spawn: bool = True, prover=None,
+                 subprocess_server: bool = False):
         self._listener = socket.socket()
         self._listener.bind(("127.0.0.1", 0))
         self._listener.listen(1)
         self.port = self._listener.getsockname()[1]
         self._server_thread = None
-        if spawn:  # in-process server thread (tests / local default)
+        self._server_proc = None
+        if subprocess_server:  # true `r0vm --port` style child process
+            import os
+            import subprocess
+            import sys
+
+            self._server_proc = subprocess.Popen(
+                [sys.executable, "-m", "risc0_tpu.cli", "port",
+                 "--port", str(self.port)],
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))))
+        elif spawn:  # in-process server thread (tests / local default)
             server = ApiServer(prover)
             self._server_thread = threading.Thread(
                 target=server.connect, args=("127.0.0.1", self.port),
@@ -271,6 +283,9 @@ class ApiClient:
     def close(self):
         self.sock.close()
         self._listener.close()
+        if self._server_proc is not None:
+            self._server_proc.terminate()
+            self._server_proc.wait(timeout=10)
 
     def _request(self, kind: int, body: bytes) -> dict:
         send_frame(self.sock, proto.bytes_field(kind, body))

@@ -68,3 +68,34 @@ def test_verifier_parameters_digest_matches_reference():
     got = params.digest().tobytes().hex()
     assert got == ("3880c9eb6bf2f1a7824608786aff4ed0b018e8ea18b7de6df0b511"
                    "0c1915b65f")
+
+
+def test_seal_to_json_via_derived_types():
+    """seal_to_json (reference groth16/src/prove/seal_to_json.rs): the
+    Fp/Digest spans are derived by replaying the verifier transcript, the
+    whole seal is consumed, and every value is the decimal standard form
+    (Fp) or BN254 Fr (digest)."""
+    import json
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from risc0_tpu import field as F
+    from risc0_tpu.circuit import fib
+    from risc0_tpu.groth16.seal_to_json import derive_seal_types, to_json
+    from risc0_tpu.hash.suite import POSEIDON2
+
+    seal = np.asarray(fib.prove(po2=6), np.uint32)[1:]  # drop version word
+    types = derive_seal_types(seal, suite=POSEIDON2,
+                              circuit=fib.FibCircuit())
+    n_words = sum(1 if t == "fp" else 8 for t in types)
+    assert n_words == len(seal)
+    assert "digest" in types and "fp" in types
+
+    # value conversion on a synthetic iop (fib's poseidon2 digests need not
+    # be canonical Fr; identity_p254 seals are by construction)
+    mini = np.array([F.s_encode(7)] + [1, 0, 0, 0, 0, 0, 0, 0], np.uint32)
+    blob = json.loads(to_json(mini, types=["fp", "digest"]))
+    assert blob["iop"] == ["7", "1"]
+    with pytest.raises(ValueError, match="length mismatch"):
+        to_json(mini[:-1], types=["fp", "digest"])

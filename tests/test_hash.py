@@ -143,3 +143,47 @@ def test_poseidon254_suite_dispatch():
     r = s.new_rng()
     r.mix(a)
     assert 0 <= F.s_decode(r.random_elem()) < F.P
+
+
+def test_blake2b_suite_semantics():
+    """Blake2b suite (reference zkp/src/core/hash/blake2b.rs): 32-byte
+    Blake2bVar digests; elem slices hash Montgomery words BIG-endian;
+    the RNG chains current = blake2b(current || digest) and draws u32s
+    big-endian."""
+    import hashlib
+
+    from risc0_tpu.hash.suite import get_suite
+
+    s = get_suite("blake2b")
+    a = np.arange(8, dtype=np.uint32)
+    b = np.arange(8, 16, dtype=np.uint32)
+    want = hashlib.blake2b(a.tobytes() + b.tobytes(),
+                           digest_size=32).digest()
+    assert s.hash_pair(a, b).tobytes() == want
+
+    elems = np.array([1, 2, 3], np.uint32)
+    want = hashlib.blake2b(elems.astype(">u4").tobytes(),
+                           digest_size=32).digest()
+    assert s.hash_elem_slice(elems).tobytes() == want
+
+    r = s.new_rng()
+    r.mix(a)
+    cur = hashlib.blake2b(b"\0" * 32 + a.tobytes(), digest_size=32).digest()
+    nxt = hashlib.blake2b(cur, digest_size=32).digest()
+    assert r.next_u32() == int.from_bytes(nxt[:4], "big")
+    assert 0 <= r.random_elem() < 2013265921
+
+
+def test_blake2b_suite_prove_verify():
+    """Full fib STARK prove/verify under the blake2b suite."""
+    from risc0_tpu.circuit import fib
+    from risc0_tpu.hash.suite import BLAKE2B
+    from risc0_tpu.verify.verifier import VerificationError
+
+    seal = fib.prove(po2=6, suite=BLAKE2B)
+    fib.verify(seal, suite=BLAKE2B)
+    bad = np.array(seal)
+    bad[40] ^= 1
+    import pytest
+    with pytest.raises((VerificationError, AssertionError)):
+        fib.verify(bad, suite=BLAKE2B)

@@ -108,3 +108,16 @@ def test_ipc_prover_via_default_prover(monkeypatch, loop_elf):
     info = p.prove(env, loop_elf)
     assert info.receipt.inner.kind == "fake"
     p.close()
+
+
+def test_subprocess_server_roundtrip(loop_elf):
+    """`r0vm --port`-style: spawn the CLI server as a child process that
+    connects back to the client listener (reference api/client.rs:54-90)."""
+    c = ApiClient(subprocess_server=True)
+    try:
+        env = ExecutorEnv(segment_po2=16).write_slice(
+            (10).to_bytes(4, "little"))
+        session, segments = c.execute(env, loop_elf)
+        assert session.exit_code[0] == "Halted" and len(segments) == 1
+    finally:
+        c.close()
