@@ -388,6 +388,63 @@ def plan_buf_ids(plan) -> list:
     return sorted({int(s[0]) for s in plan.tap_specs})
 
 
+def _make_eval_check_sharded(plan, per_buf, invz_pat, domain, T, n_chunks,
+                             nf, ne, nc):
+    """Domain-parallel eval_check over the installed mesh (SURVEY
+    §2.10.4): chunk starts shard across the axis via shard_map, group
+    buffers stay replicated so the back-tap gathers are local.  Identical
+    math per chunk -> identical check polynomial to the one-device run."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..hal import jnp_hal as _hal
+
+    mesh = _hal._SHARD["mesh"]
+    axis = _hal._SHARD["cols_axis"]
+    n_sh = mesh.shape[axis]
+    assert n_chunks % n_sh == 0, \
+        f"domain chunks {n_chunks} not divisible by mesh axis {n_sh}"
+
+    def block(starts_blk, evs, gvals, pm_pows):
+        fp0 = jnp.zeros((nf, T), jnp.uint32)
+        fp0 = jax.lax.dynamic_update_slice(
+            fp0, jnp.broadcast_to(jnp.asarray(plan.const_vals)[:, None],
+                                  (nc, T)), (0, 0))
+        ext0 = jnp.zeros((ne, T, 4), jnp.uint32)
+        if len(plan.econst_vals):
+            ext0 = jax.lax.dynamic_update_slice(
+                ext0, jnp.broadcast_to(
+                    jnp.asarray(plan.econst_vals)[:, None, :],
+                    (len(plan.econst_vals), T, 4)), (0, 0, 0))
+        ar = jnp.arange(T, dtype=jnp.int32)
+
+        def one_chunk(start):
+            rows = []
+            for ev, (cols, backs) in zip(evs, per_buf):
+                idx = (start - 4 * jnp.asarray(backs)[:, None]
+                       + ar[None, :]) % domain
+                rows.append(ev[jnp.asarray(cols)[:, None], idx])
+            tapm = jnp.concatenate(rows, axis=0)
+            return _run_chunk(plan, fp0, ext0, tapm, gvals, pm_pows, T)
+
+        return jax.lax.map(one_chunk, starts_blk)
+
+    @jax.jit
+    def run(evs, gvals, pm_pows):
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * T
+        sm = shard_map(block, mesh=mesh,
+                       in_specs=(P(axis), tuple(P(None, None) for _ in evs),
+                                 P(None), P(None, None)),
+                       out_specs=P(axis), check_rep=False)
+        tot = sm(starts, tuple(evs), gvals, pm_pows).reshape(domain, 4)
+        invz = jnp.tile(jnp.asarray(invz_pat), domain // 4)
+        return F.mul(tot, invz[:, None]).T          # (4, domain)
+
+    return run
+
+
 def make_eval_check(circuit, po2: int, chunk: int = 2048):
     """Build the jitted full-domain eval_check for one po2.
 
@@ -465,4 +522,8 @@ def make_eval_check(circuit, po2: int, chunk: int = 2048):
         invz = jnp.tile(jnp.asarray(invz_pat), domain // 4)
         return F.mul(tot, invz[:, None]).T          # (4, domain)
 
+    from ..hal import jnp_hal as _hal
+    if _hal._SHARD["mesh"] is not None:
+        return _make_eval_check_sharded(plan, per_buf, invz_pat, domain, T,
+                                        n_chunks, nf, ne, nc)
     return run

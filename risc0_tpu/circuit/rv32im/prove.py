@@ -41,14 +41,16 @@ class Rv32imCircuitHal:
     def eval_check(self, groups, globals_list, poly_mix, po2):
         import jax.numpy as jnp
 
+        from ...hal import jnp_hal as hal
         from .. import ir_range
 
         plan = Rv32imCircuitHal._plan
-        fn = Rv32imCircuitHal._fns.get(po2)
+        key = (po2, hal._SHARD["mesh"] is not None)
+        fn = Rv32imCircuitHal._fns.get(key)
         if fn is None:
             fn = ir_range.make_eval_check(
                 self.circuit, po2, chunk=self.chunk)
-            Rv32imCircuitHal._fns[po2] = fn
+            Rv32imCircuitHal._fns[key] = fn
         mix_g, out_g = (np.asarray(g, np.uint32) for g in globals_list)
         accum, code, data = groups
         bufmap = {0: accum, 1: data, 4: code}

@@ -336,12 +336,39 @@ def fri_fold(planar_coeffs, mix):
 # Merkle hashing
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _fold_tree_p2(leaves):
+# Multi-chip sharding (SURVEY §2.10.4/5): when a mesh is installed via
+# parallel.sharded.mesh_context, the commit/check pipelines annotate
+# shardings — columns sharded for the per-column iNTT/zk-shift/LDE, one
+# all-to-all reshard to row-sharded leaves for hashing and folding.  Ops
+# are deterministic, so sharded and single-device proves emit identical
+# seals.  One mesh per process: the jit cache keys on the `shard` static
+# flag, not the mesh object.
+_SHARD: dict = {"mesh": None, "cols_axis": None, "rows_axis": None}
+
+
+def _constrain(x, spec_if_sharded):
+    if _SHARD["mesh"] is None:
+        return x
+    from jax.sharding import NamedSharding
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(_SHARD["mesh"], spec_if_sharded))
+
+
+def _spec(*axes):
+    from jax.sharding import PartitionSpec as P
+
+    return P(*[_SHARD[a] if a else None for a in axes])
+
+
+@partial(jax.jit, static_argnames=("shard",))
+def _fold_tree_p2(leaves, shard: bool = False):
     """All Merkle fold layers above the leaves, one compiled graph
     (reference prove/merkle.rs:54-80).  Shared across every group with the
     same leaf count — ONE compile per po2 instead of one per group shape,
     which matters through the remote compile service."""
+    if shard:
+        leaves = _constrain(leaves, _spec("cols_axis", None))
     layers = []
     cur = leaves
     while cur.shape[0] > 1:
@@ -361,17 +388,35 @@ def _commit_pipeline_p2(witness, zk: bool = True, use_pallas: bool = False):
     layers[-1] = (1, 8) root.  Mirrors reference prove/prover.rs:38-48 +
     prove/merkle.rs:54-80 semantics.
     """
-    coeffs_nat, evaluated, leaves = _commit_leaves_p2(witness, zk, use_pallas)
-    return (coeffs_nat, evaluated, leaves) + _fold_tree_p2(leaves)
+    shard = _SHARD["mesh"] is not None
+    coeffs_nat, evaluated, leaves = _commit_leaves_p2(
+        witness, zk, use_pallas and not shard, shard=shard)
+    return (coeffs_nat, evaluated, leaves) + _fold_tree_p2(leaves,
+                                                           shard=shard)
 
 
-@partial(jax.jit, static_argnames=("zk", "use_pallas"))
-def _commit_leaves_p2(witness, zk: bool = True, use_pallas: bool = False):
+@partial(jax.jit, static_argnames=("zk", "use_pallas", "shard"))
+def _commit_leaves_p2(witness, zk: bool = True, use_pallas: bool = False,
+                      shard: bool = False):
+    cols0 = witness.shape[0]
+    if shard:
+        # per-column iNTT/zk/LDE: columns sharded, rows local.  Pad the
+        # column count to the axis size (zero columns NTT to zeros and
+        # are sliced off before hashing — values unchanged).
+        n_sh = _SHARD["mesh"].shape[_SHARD["cols_axis"]]
+        padc = (-cols0) % n_sh
+        if padc:
+            witness = jnp.pad(witness, ((0, padc), (0, 0)))
+        witness = _constrain(witness, _spec("cols_axis", None))
     coeffs = ntt.interpolate_ntt(witness)
     if zk:
         coeffs = ntt.zk_shift(coeffs)
     evaluated = ntt.evaluate_ntt(ntt.expand(coeffs, 2), 2)
     coeffs_nat = ntt.bit_reverse(coeffs)
+    if shard:
+        coeffs_nat = coeffs_nat[:cols0]
+        # leaf hash needs every column of a row: one all-to-all reshard
+        evaluated = _constrain(evaluated[:cols0], _spec(None, "cols_axis"))
     if use_pallas:
         from .pallas import poseidon2 as pk
 
@@ -397,16 +442,20 @@ def commit_pipeline(witness, suite_name: str = "poseidon2", zk: bool = True):
     return coeffs_nat, evaluated, merkle_layers(evaluated, suite_name)
 
 
-@partial(jax.jit, static_argnames=("check_size", "use_pallas"))
+@partial(jax.jit, static_argnames=("check_size", "use_pallas", "shard"))
 def _check_pipeline_p2(check_poly, check_size: int = 16,
-                       use_pallas: bool = False):
+                       use_pallas: bool = False, shard: bool = False):
     """Fused check-group commit: iNTT the (4, domain) check polynomial,
     reinterpret the bit-reversed coeffs as `check_size` base polys with no
     data movement (reference prover.rs:159-178), then LDE + Merkle."""
     cycles = check_poly.shape[-1] * check_poly.shape[0] // check_size
     coeffs_br = ntt.interpolate_ntt(check_poly).reshape(check_size, cycles)
+    if shard:
+        coeffs_br = _constrain(coeffs_br, _spec("cols_axis", None))
     evaluated = ntt.evaluate_ntt(ntt.expand(coeffs_br, 2), 2)
     coeffs_nat = ntt.bit_reverse(coeffs_br)
+    if shard:
+        evaluated = _constrain(evaluated, _spec(None, "cols_axis"))
     if use_pallas:
         from .pallas import poseidon2 as pk
 
@@ -421,10 +470,14 @@ def check_pipeline(check_poly, suite_name: str = "poseidon2",
     """Returns (coeffs_nat, evaluated, layers_list) for the check group."""
     if suite_name == "poseidon2":
         rows4 = check_poly.shape[-1]
-        use_pallas = (p2._use_pallas() and rows4 >= 512 and rows4 % 512 == 0)
+        shard = _SHARD["mesh"] is not None
+        use_pallas = (p2._use_pallas() and not shard and rows4 >= 512
+                      and rows4 % 512 == 0)
         coeffs_nat, evaluated, leaves = _check_pipeline_p2(
-            check_poly, check_size=check_size, use_pallas=use_pallas)
-        return coeffs_nat, evaluated, [leaves] + list(_fold_tree_p2(leaves))
+            check_poly, check_size=check_size, use_pallas=use_pallas,
+            shard=shard)
+        return coeffs_nat, evaluated, [leaves] + list(
+            _fold_tree_p2(leaves, shard=shard))
     coeffs = ntt.interpolate_ntt(check_poly)
     cycles = check_poly.shape[-1] // 4
     coeffs_br = coeffs.reshape(check_size, cycles)

@@ -1,0 +1,92 @@
+"""Multi-chip sharded proving on the virtual 8-device CPU mesh
+(conftest sets xla_force_host_platform_device_count=8): the sharded
+commit and the FULL sharded prove must emit byte-identical results to
+the single-device path (VERDICT r1 item 6)."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from risc0_tpu import field as F
+from risc0_tpu.hal import jnp_hal as hal
+from risc0_tpu.parallel.sharded import commit_sharded, mesh_context
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), ("tp",))
+
+
+def test_sharded_commit_identical_root(mesh):
+    """Full-width rv32im data-group shape (211 cols) at a reduced po2:
+    column-sharded iNTT/LDE + row-resharded hashing gives the identical
+    Merkle tree to the single-device pipeline."""
+    rng = np.random.default_rng(3)
+    witness = rng.integers(0, F.P, size=(211, 1 << 12), dtype=np.uint32)
+
+    cn1, ev1, layers1 = hal.commit_pipeline(np.asarray(witness))
+    cn2, ev2, layers2 = commit_sharded(witness, mesh)
+
+    assert np.array_equal(np.asarray(cn1), np.asarray(cn2))
+    assert np.array_equal(np.asarray(ev1), np.asarray(ev2))
+    for a, b in zip(layers1, layers2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # the sharded run really spans the mesh
+    shards = {s.device for s in cn2.addressable_shards}
+    assert len(shards) == 8
+
+
+def test_sharded_prove_identical_seal(mesh):
+    """The ENTIRE fib prove under mesh_context produces a seal
+    byte-identical to the single-device prove, and it verifies."""
+    from risc0_tpu.circuit import fib
+
+    seal_single = np.asarray(fib.prove(po2=8, seed=5))
+    with mesh_context(mesh):
+        seal_sharded = np.asarray(fib.prove(po2=8, seed=5))
+    assert np.array_equal(seal_single, seal_sharded)
+    fib.verify(seal_sharded)
+
+
+def test_mesh_context_restores_state(mesh):
+    assert hal._SHARD["mesh"] is None
+    with mesh_context(mesh):
+        assert hal._SHARD["mesh"] is mesh
+    assert hal._SHARD["mesh"] is None
+
+
+def test_sharded_eval_check_matches_unsharded(mesh):
+    """rv32im constraint evaluation domain-sharded via shard_map equals
+    the single-device run bit-for-bit."""
+    from risc0_tpu.circuit import ir_range
+    from risc0_tpu.circuit.rv32im.circuit import load_circuit
+
+    c = load_circuit()
+    po2 = 4
+    cycles = 1 << po2
+    domain = cycles * 4
+    rng = np.random.default_rng(11)
+    accum = rng.integers(0, F.P, (103, domain), dtype=np.uint32)
+    data = rng.integers(0, F.P, (211, domain), dtype=np.uint32)
+    mix = rng.integers(0, F.P, 36, dtype=np.uint32)
+    out = rng.integers(0, F.P, 90, dtype=np.uint32)
+    pm = tuple(int(x) for x in rng.integers(0, F.P, 4))
+
+    plan = ir_range.build_range_plan(c)
+    c.range_plan = plan
+    bufmap = {0: accum, 1: data}
+    evs = tuple(bufmap[b] for b in ir_range.plan_buf_ids(plan))
+    gvals = np.array([(out if b == 2 else mix)[i]
+                      for b, i in plan.global_specs], np.uint32)
+    pm_pows = c.mix_pows(pm)
+
+    fn1 = ir_range.make_eval_check(c, po2, chunk=8)
+    got1 = np.asarray(fn1(evs, gvals, pm_pows))
+    with mesh_context(mesh):
+        fn2 = ir_range.make_eval_check(c, po2, chunk=8)
+        got2 = np.asarray(fn2(evs, gvals, pm_pows))
+    assert np.array_equal(got1, got2)
