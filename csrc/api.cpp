@@ -563,6 +563,83 @@ void r0_session_free(void* session) {
   delete static_cast<SessionState*>(session);
 }
 
+// ---------------------------------------------------------------------------
+// Debug session: single-step control for the GDB stub (reference
+// risc0/circuit/rv32im/src/execute/gdb.rs).  The machine runs the same
+// kernel+user image as a normal session; stepping is per machine
+// instruction with user-mode pc breakpoints.
+
+struct DebugState {
+  MemoryImage image;
+  CallbackIO io;
+  void* m = nullptr;
+  ~DebugState() {
+    if (m) debug_machine_free(m);
+  }
+};
+
+void* r0_debug_create(const uint8_t* user_elf, uint64_t user_len,
+                      const uint8_t* kernel_elf, uint64_t kernel_len,
+                      void* io_user, r0_host_read_fn on_read,
+                      r0_host_write_fn on_write) {
+  try {
+    Program user = Program::load_elf(user_elf, user_len, USER_END);
+    Program kernel = Program::load_elf(kernel_elf, kernel_len, 0xffff'ffff);
+    auto* ds = new DebugState();
+    ds->image = MemoryImage::with_kernel(user, kernel);
+    ds->io.user = io_user;
+    ds->io.on_read = on_read;
+    ds->io.on_write = on_write;
+    ds->m = debug_machine_create(ds->image, &ds->io);
+    return ds;
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return nullptr;
+  }
+}
+
+// Step up to max_steps machine instructions.  Returns 0 = step budget
+// used, 1 = guest halted, 2 = user-mode breakpoint hit (at *stop_pc,
+// before executing it), 3 = error (r0_last_error).
+int r0_debug_step(void* dbg, uint64_t max_steps, const uint32_t* bps,
+                  uint32_t n_bps, uint32_t* stop_pc) {
+  auto* ds = static_cast<DebugState*>(dbg);
+  try {
+    return debug_machine_step(ds->m, max_steps, bps, n_bps, stop_pc);
+  } catch (const std::exception& e) {
+    g_error = e.what();
+    return 3;
+  }
+}
+
+uint32_t r0_debug_pc(void* dbg) {
+  return debug_machine_pc(static_cast<DebugState*>(dbg)->m);
+}
+
+uint32_t r0_debug_mode(void* dbg) {
+  return debug_machine_mode(static_cast<DebugState*>(dbg)->m);
+}
+
+int r0_debug_halted(void* dbg) {
+  return debug_machine_halted(static_cast<DebugState*>(dbg)->m);
+}
+
+uint32_t r0_debug_exit_code(void* dbg) {
+  return debug_machine_exit_code(static_cast<DebugState*>(dbg)->m);
+}
+
+void r0_debug_read_regs(void* dbg, uint32_t out[32]) {
+  debug_machine_regs(static_cast<DebugState*>(dbg)->m, out);
+}
+
+void r0_debug_read_mem(void* dbg, uint32_t byte_addr, uint32_t len,
+                       uint8_t* out) {
+  r0_machine_peek_region(static_cast<DebugState*>(dbg)->m, byte_addr, len,
+                         out);
+}
+
+void r0_debug_free(void* dbg) { delete static_cast<DebugState*>(dbg); }
+
 void r0_session_enable_profile(void* session) {
   static_cast<SessionState*>(session)->profile_enabled = true;
 }

@@ -1370,6 +1370,61 @@ ReplayResult replay_segment(const Segment& seg, const Digest& input_digest) {
 }
 
 
+// --- debug stepping (GDB stub; reference execute/gdb.rs) --------------------
+
+void* debug_machine_create(MemoryImage& image, HostIO* io) {
+  auto* m = new Machine(image);
+  m->io = io;
+  io->machine_handle = m;
+  m->resume();
+  return m;
+}
+
+int debug_machine_step(void* machine, uint64_t max_steps, const uint32_t* bps,
+                       uint32_t n_bps, uint32_t* stop_pc) {
+  auto* m = static_cast<Machine*>(machine);
+  for (uint64_t i = 0; i < max_steps; i++) {
+    if (!m->machine_mode && i > 0) {
+      for (uint32_t b = 0; b < n_bps; b++) {
+        if (m->pc == bps[b]) {
+          if (stop_pc) *stop_pc = m->pc;
+          return 2;
+        }
+      }
+    }
+    if (m->terminate_state.has_value()) return 1;
+    if (!m->step()) return 1;
+  }
+  if (stop_pc) *stop_pc = m->pc;
+  return 0;
+}
+
+uint32_t debug_machine_pc(void* machine) {
+  return static_cast<Machine*>(machine)->pc;
+}
+
+uint32_t debug_machine_mode(void* machine) {
+  return static_cast<Machine*>(machine)->machine_mode;
+}
+
+int debug_machine_halted(void* machine) {
+  return static_cast<Machine*>(machine)->terminate_state.has_value() ? 1 : 0;
+}
+
+uint32_t debug_machine_exit_code(void* machine) {
+  auto* m = static_cast<Machine*>(machine);
+  return m->terminate_state ? m->terminate_state->a0 : 0;
+}
+
+void debug_machine_regs(void* machine, uint32_t out[32]) {
+  auto* m = static_cast<Machine*>(machine);
+  for (int i = 0; i < 32; i++) out[i] = m->pager.user_registers[i];
+}
+
+void debug_machine_free(void* machine) {
+  delete static_cast<Machine*>(machine);
+}
+
 void* machine_fork_impl(void* machine, HostIO* io) {
   Machine* parent = static_cast<Machine*>(machine);
   auto* child = new Machine(*parent);

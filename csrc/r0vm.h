@@ -177,6 +177,15 @@ struct HostIO {
 
 // Peek helpers on the opaque machine handle (no paging cost, no records).
 uint32_t machine_peek(void* machine, uint32_t waddr);
+void* debug_machine_create(MemoryImage& image, HostIO* io);
+int debug_machine_step(void* machine, uint64_t max_steps, const uint32_t* bps,
+                       uint32_t n_bps, uint32_t* stop_pc);
+uint32_t debug_machine_pc(void* machine);
+uint32_t debug_machine_mode(void* machine);
+int debug_machine_halted(void* machine);
+uint32_t debug_machine_exit_code(void* machine);
+void debug_machine_regs(void* machine, uint32_t out[32]);
+void debug_machine_free(void* machine);
 void* machine_fork_impl(void* machine, HostIO* io);
 int machine_fork_run_impl(void* machine, uint64_t max_cycles);
 void machine_fork_free_impl(void* machine);
