@@ -301,6 +301,8 @@ struct R0PreflightView {
   const uint32_t* back_offset;  // (num_cycles,)
   uint64_t back_data_len;
   const uint32_t* back_data;
+  uint64_t bigint_bytes_len;
+  const uint32_t* bigint_bytes;  // 16 values per bigint row
   uint32_t table_split_cycle;
 };
 
@@ -366,6 +368,8 @@ int r0_preflight_segment(
     view.back_offset = trace.back_offset.data();
     view.back_data_len = trace.back_data.size();
     view.back_data = trace.back_data.data();
+    view.bigint_bytes_len = trace.bigint_bytes.size();
+    view.bigint_bytes = trace.bigint_bytes.data();
     view.table_split_cycle = trace.table_split_cycle;
     if (cb) cb(user, &view);
     return 0;

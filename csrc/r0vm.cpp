@@ -508,6 +508,8 @@ struct Recorder {
                             const uint32_t sha_state[10]) = 0;
   virtual void on_p2_cycle(struct Machine& m, CycleState cur,
                            const struct P2State& p2) = 0;
+  virtual void on_bigint_cycle(struct Machine& m, CycleState cur,
+                               const uint32_t state[22]) = 0;
   virtual void on_resume(struct Machine& m) = 0;
   virtual void on_suspend(struct Machine& m) = 0;
   virtual void on_trap_rewind(struct Machine& m) = 0;

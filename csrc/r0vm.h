@@ -294,6 +294,8 @@ struct PreflightTrace {
   std::vector<uint8_t> back_kind;      // 0 none, 1 ecall, 2 sha, 3 p2
   std::vector<uint32_t> back_offset;   // per-row offset into back_data
   std::vector<uint32_t> back_data;
+  // 16 byte-values per bigint row, indexed by RawPreflightCycle.bigint_idx
+  std::vector<uint32_t> bigint_bytes;
   uint32_t table_split_cycle = 0;
 };
 

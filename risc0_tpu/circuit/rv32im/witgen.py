@@ -216,6 +216,14 @@ def inject(pf, rows, meta):
             word = back[o + 7 + i]
             for b in range(32):
                 data[col + b, sha_rows] = (word >> b) & 1
+
+    bigint_rows = np.nonzero(kinds == 4)[0]
+    if len(bigint_rows):
+        o = offs[bigint_rows]
+        # [isEcall, mode, pc, polyOp, coeff, bytes x16, nextState]
+        # (reference witgen/bigint.rs BigIntState::offsets)
+        for i, col in enumerate(inj["bigint_state"]):
+            data[col, bigint_rows] = back[o + i]
     return data
 
 
@@ -236,9 +244,12 @@ def witgen_exec(seg, rand_z=(1, 0, 0, 0), pf=None, n_threads=0):
     glob = build_global(seg, rand_z)
     cycles = np.ascontiguousarray(pf["cycles"])
     txns = np.ascontiguousarray(pf["txns"])
-    bigint = np.zeros(16, np.uint32)
     tab8 = np.zeros(256, np.uint32)
     tab16 = np.zeros(65536, np.uint32)
+    bigint = np.ascontiguousarray(pf.get(
+        "bigint_bytes", np.zeros(0, np.uint32)))
+    if len(bigint) == 0:
+        bigint = np.zeros(16, np.uint32)
     prog = progs["exec"]
     rc = lib.r0_witgen_run(
         _u32p(prog["ops"]), len(prog["ops"]), prog["n_slots"],

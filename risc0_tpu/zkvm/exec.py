@@ -523,6 +523,9 @@ def preflight_segment(seg: "SegmentInfo") -> dict:
         out["back_offset"] = np.ctypeslib.as_array(v.back_offset, (n,)).copy()
         out["back_data"] = np.ctypeslib.as_array(v.back_data, (k,)).copy() \
             if k else np.zeros(0, np.uint32)
+        bb = v.bigint_bytes_len
+        out["bigint_bytes"] = np.ctypeslib.as_array(
+            v.bigint_bytes, (bb,)).copy() if bb else np.zeros(0, np.uint32)
         out["table_split_cycle"] = v.table_split_cycle
 
     cb = native.PREFLIGHT_FN(on_view)

@@ -85,6 +85,8 @@ class R0PreflightView(C.Structure):
         ("back_offset", C.POINTER(C.c_uint32)),
         ("back_data_len", C.c_uint64),
         ("back_data", C.POINTER(C.c_uint32)),
+        ("bigint_bytes_len", C.c_uint64),
+        ("bigint_bytes", C.POINTER(C.c_uint32)),
         ("table_split_cycle", C.c_uint32),
     ]
 
