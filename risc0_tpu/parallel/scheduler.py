@@ -108,15 +108,27 @@ class Worker:
         self._thread.join(timeout=5)
 
     def _run(self):
+        import time
+
+        from .. import log
+
         while not self._stop.is_set():
             task = self.factory.get_task(self.kinds)
             if task is None:
                 continue
+            t0 = time.perf_counter()
             try:
                 result = self.processor(task)
                 self.factory.task_done(TaskDone(task, result=result))
+                log.event("task_done", worker=self.name,
+                          kind=task.kind.value, job=task.job_id,
+                          task=task.task_id,
+                          seconds=round(time.perf_counter() - t0, 4))
             except Exception as e:  # propagate to the job
                 self.factory.task_done(TaskDone(task, error=e))
+                log.event("task_failed", worker=self.name,
+                          kind=task.kind.value, job=task.job_id,
+                          task=task.task_id, error=str(e))
 
 
 @dataclass
