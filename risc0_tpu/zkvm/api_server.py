@@ -105,8 +105,11 @@ class Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         s = self.state
         if m := re.fullmatch(r"/images/upload/([\w-]+)", self.path):
-            # presigned-style: return the url to PUT to (reference image_upload)
-            return self._json(200, {"url": f"/images/upload/{m.group(1)}"})
+            # presigned-style: url to PUT to; dedup flag mirrors the
+            # reference's 204 on an existing image (bonsai sdk image_upload)
+            exists = (s.storage / "images" / m.group(1)).exists()
+            return self._json(200, {"url": f"/images/upload/{m.group(1)}",
+                                    "exists": exists})
         if self.path == "/inputs/upload":
             input_id = str(uuid.uuid4())
             return self._json(200, {"uuid": input_id,
@@ -131,6 +134,20 @@ class Handler(BaseHTTPRequestHandler):
             if not path.exists():
                 return self._json(404, {"error": "no receipt"})
             return self._bytes(200, path.read_bytes())
+        if self.path == "/version":
+            return self._json(200, {"risc0_tpu": "0.2",
+                                    "compat_risc0": ["2.0", "3.0"]})
+        if self.path == "/user/quotas":
+            return self._json(200, {"exec_cycle_limit": 1 << 36,
+                                    "max_parallelism": 4,
+                                    "concurrent_proofs": 4})
+        if m := re.fullmatch(r"/sessions/logs/([\w-]+)", self.path):
+            job = s.get_job(m.group(1))
+            if not job:
+                return self._json(404, {"error": "unknown job"})
+            return self._bytes(200, json.dumps(
+                {"status": job.get("status"),
+                 "error": job.get("error")}).encode())
         if m := re.fullmatch(r"/sessions/exec_only_journal/([\w-]+)", self.path):
             job = s.get_job(m.group(1))
             if "journal" not in job:
@@ -160,7 +177,16 @@ class Handler(BaseHTTPRequestHandler):
             t.start()
             return self._json(200, {"uuid": job_id})
         if self.path == "/snark/create":
-            return self._json(501, {"error": "groth16 wrap lands in a later round"})
+            return self._json(501, {
+                "error": "SNARK proving is external: wrap via "
+                         "identity_p254 + groth16 seal-to-json"})
+        if m := re.fullmatch(r"/sessions/stop/([\w-]+)", self.path):
+            job = s.get_job(m.group(1))
+            if not job:
+                return self._json(404, {"error": "unknown job"})
+            if job.get("status") == "RUNNING":
+                s.set_job(m.group(1), status="ABORTED")
+            return self._json(200, {"ok": True})
         return self._json(404, {"error": "not found"})
 
 
