@@ -32,7 +32,7 @@ VERSION = 1
 _KIND_NAMES = {
     "execute": TaskKind.EXECUTE,
     "prove-segment": TaskKind.PROVE_SEGMENT,
-    "prove-keccak": TaskKind.PROVE_SEGMENT,  # keccak proves share the pool
+    "prove-keccak": TaskKind.PROVE_KECCAK,
     "lift": TaskKind.LIFT,
     "join": TaskKind.JOIN,
     "union": TaskKind.UNION,

@@ -30,6 +30,7 @@ from typing import Any, Callable
 class TaskKind(Enum):
     EXECUTE = "execute"
     PROVE_SEGMENT = "prove_segment"
+    PROVE_KECCAK = "prove_keccak"
     LIFT = "lift"
     JOIN = "join"
     UNION = "union"
@@ -212,6 +213,9 @@ class ProofJob:
                     segment_claims[seg.index] = sc
                     self._submit(TaskKind.PROVE_SEGMENT, (seg, sc))
                     outstanding += 1
+                for req in getattr(session, "pending_keccaks", []):
+                    self._submit(TaskKind.PROVE_KECCAK, req)
+                    outstanding += 1
             elif task.kind == TaskKind.PROVE_SEGMENT:
                 seg, _ = task.payload
                 self._submit(TaskKind.LIFT, (seg.index, result))
@@ -224,6 +228,9 @@ class ProofJob:
                 a, b = task.payload
                 lifted.append(_LiftedRange(a.lo, b.hi, result))
                 try_join()
+            elif task.kind == TaskKind.PROVE_KECCAK:
+                # coprocessor receipts feed the union tree below
+                self.coproc_receipts.append(result)
 
         assert len(lifted) == 1, f"join tree did not converge: {lifted}"
         root = lifted[0].receipt
@@ -288,6 +295,8 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
         if task.kind == TaskKind.UNION:
             a, b = task.payload
             return prover.union(a, b)
+        if task.kind == TaskKind.PROVE_KECCAK:
+            return prover.prove_keccak(task.payload)
         if task.kind == TaskKind.RESOLVE:
             conditional, assumption = task.payload
             return prover.resolve(conditional, assumption)
@@ -299,7 +308,8 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
                               f"cpu-{i}").start())
     for i in range(num_accel):
         workers.append(Worker(
-            factory, [TaskKind.PROVE_SEGMENT, TaskKind.LIFT, TaskKind.JOIN,
+            factory, [TaskKind.PROVE_SEGMENT, TaskKind.PROVE_KECCAK,
+                      TaskKind.LIFT, TaskKind.JOIN,
                       TaskKind.UNION, TaskKind.RESOLVE],
             accel_processor, f"accel-{i}").start())
     return workers

@@ -93,7 +93,7 @@ def _digest_from(buf: bytes) -> np.ndarray:
 # requests (ServerRequest oneof, api.proto field numbers)
 
 EXECUTE, PROVE, PROVE_SEGMENT, LIFT, JOIN, IDENTITY_P254, RESOLVE, \
-    COMPRESS, VERIFY, UNION = 1, 2, 3, 4, 5, 6, 7, 8, 9, 12
+    COMPRESS, VERIFY, PROVE_KECCAK, UNION = 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12
 
 
 def _opts_msg(opts) -> bytes:
@@ -224,6 +224,18 @@ class ApiServer:
             conditional = asset_decode(body[2])
             assumption = asset_decode(body[3])
             receipt = self._get_prover(opts).resolve(conditional, assumption)
+            yield proto.bytes_field(1, asset_encode(receipt))
+        elif kind == PROVE_KECCAK:
+            # api.proto ProveKeccakRequest: claim_digest=1, po2=2,
+            # control_root=3, input(asset)=4
+            request = {
+                "claim_digest": _digest_from(body[1]).tobytes(),
+                "po2": body.get(2, 17),
+                "control_root": _digest_from(body.get(3, b"")).tobytes(),
+                "input": asset_decode(body[4]) if 4 in body else [],
+            }
+            opts = _opts_from(body.get(5, b""))
+            receipt = self._get_prover(opts).prove_keccak(request)
             yield proto.bytes_field(1, asset_encode(receipt))
         elif kind == VERIFY:
             receipt = asset_decode(body[1])
@@ -357,6 +369,20 @@ class ApiClient:
 
     def compress(self, receipt, opts=None):
         return self._unary(COMPRESS, opts, receipt)
+
+    def prove_keccak(self, claim_digest, po2: int, control_root,
+                     input_data, opts=None):
+        import numpy as np
+
+        from .prover import ProverOpts
+
+        body = (proto.bytes_field(1, _digest_msg(claim_digest)) +
+                proto.uint(2, po2) +
+                proto.bytes_field(3, _digest_msg(control_root)) +
+                proto.bytes_field(4, asset_encode(input_data)) +
+                proto.bytes_field(5, _opts_msg(opts or ProverOpts())))
+        d = self._request(PROVE_KECCAK, body)
+        return asset_decode(d[1])
 
     def verify(self, receipt, image_id) -> None:
         body = (proto.bytes_field(1, asset_encode(receipt)) +

@@ -77,6 +77,10 @@ class ProverServer:
     def union(self, a, b):
         raise NotImplementedError
 
+    def prove_keccak(self, request: dict):
+        """ProveKeccakRequest -> SuccinctReceipt (api.proto:63-71)."""
+        raise NotImplementedError
+
 
 class DevModeProver(ProverServer):
     """Produces FakeReceipts instantly (reference prove/dev_mode.rs)."""
@@ -150,6 +154,15 @@ class DevModeProver(ProverServer):
         if tuple(int(w) for w in db) < tuple(int(w) for w in da):
             da, db = db, da
         return FakeReceipt(UnionClaim(left=da, right=db))
+
+    def prove_keccak(self, request: dict):
+        import numpy as np
+
+        digest = request["claim_digest"]
+        digest = np.frombuffer(bytes(digest), np.uint32) \
+            if isinstance(digest, (bytes, bytearray)) \
+            else np.asarray(digest, np.uint32)
+        return FakeReceipt(MaybePruned.from_digest(digest))
 
 
 class ProverImpl(ProverServer):
@@ -243,6 +256,10 @@ class ProverImpl(ProverServer):
     def union(self, a, b):
         from . import recursion_driver
         return recursion_driver.union(a, b)
+
+    def prove_keccak(self, request: dict):
+        from . import recursion_driver
+        return recursion_driver.prove_keccak_request(request)
 
 
 def _session_work(session):

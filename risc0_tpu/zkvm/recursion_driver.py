@@ -101,6 +101,50 @@ def join(left: SuccinctReceipt, right: SuccinctReceipt) -> SuccinctReceipt:
     return receipt
 
 
+def lift_keccak(keccak_seal, po2: int) -> SuccinctReceipt:
+    """Keccak coprocessor seal -> SuccinctReceipt via the released
+    keccak_lift_{po2} zkr (reference host/server/prove/keccak.rs +
+    recursion/prove/mod.rs prove_keccak_lift).  The receipt claim is the
+    pruned keccak claim digest."""
+    from ..circuit.keccak.verify import (keccak_digest_from_globals,
+                                         verify_keccak_seal)
+    from ..circuit.recursion.prove import load_keccak_lift, prove_zkr
+    from .claims import MaybePruned
+
+    out = verify_keccak_seal(keccak_seal)
+    claim = keccak_digest_from_globals(out, montgomery=True)
+    tape = [0] * 8 + [int(x) for x in keccak_seal]
+    for w in claim:
+        tape.extend([int(w) & 0xFFFF, int(w) >> 16])
+    tape.append(1 << po2)
+    prog = load_keccak_lift(po2)
+    control_id = prog.control_id()
+    receipt = prove_zkr(prog, control_id, [control_id], tape,
+                        claim=MaybePruned.from_digest(
+                            np.asarray(claim, np.uint32)))
+    if not np.array_equal(receipt_claim_digest(receipt),
+                          np.asarray(claim, np.uint32)):
+        raise VerificationError("keccak lift claim digest mismatch")
+    return receipt
+
+
+def prove_keccak_request(request: dict) -> SuccinctReceipt:
+    """ProveKeccakRequest (api.proto:63-71 / Session.pending_keccaks
+    entries: claim_digest, po2, control_root, input) -> SuccinctReceipt."""
+    from ..circuit.keccak import prove_keccak
+
+    po2 = int(request["po2"])
+    seal = prove_keccak(request["input"], po2)
+    receipt = lift_keccak(seal, po2)
+    want = np.frombuffer(bytes(request["claim_digest"]), np.uint32) \
+        if isinstance(request["claim_digest"], (bytes, bytearray)) \
+        else np.asarray(request["claim_digest"], np.uint32)
+    if not np.array_equal(receipt_claim_digest(receipt), want):
+        raise VerificationError(
+            "keccak claim digest mismatch vs guest request")
+    return receipt
+
+
 def resolve(conditional: SuccinctReceipt,
             assumption: SuccinctReceipt) -> SuccinctReceipt:
     """Remove the head assumption from a conditional receipt's claim

@@ -39,10 +39,9 @@ def test_load_default_toml():
     assert cfg.api.listen == "127.0.0.1:0"
     assert cfg.executor.count == 1
     assert len(cfg.provers) == 1
-    # prove-keccak aliases into the segment-prover pool; kinds deduped
     assert cfg.provers[0].subscribe == [
-        TaskKind.PROVE_SEGMENT, TaskKind.LIFT, TaskKind.JOIN,
-        TaskKind.UNION, TaskKind.RESOLVE]
+        TaskKind.PROVE_SEGMENT, TaskKind.PROVE_KECCAK, TaskKind.LIFT,
+        TaskKind.JOIN, TaskKind.UNION, TaskKind.RESOLVE]
 
 
 def test_bad_version_and_kind_rejected():

@@ -92,3 +92,24 @@ def test_rsp_session(loop_elf):
     assert c.cmd("c") == "W00"
     c.sock.close()
     t.join(timeout=10)
+
+
+def test_trace_events(loop_elf):
+    """TraceEvent stream (reference trace.rs): InstructionStart per
+    user-mode insn with the encoded word; RegisterSet diffs."""
+    from risc0_tpu.zkvm.trace import (InstructionStart, RegisterSet,
+                                      trace_execution)
+
+    events = list(trace_execution(loop_elf,
+                                  input_data=(3).to_bytes(4, "little")))
+    starts = [e for e in events if isinstance(e, InstructionStart)]
+    regs = [e for e in events if isinstance(e, RegisterSet)]
+    assert len(starts) > 10 and len(regs) > 5
+    # the hot loop pc appears with a decodable insn word
+    loop_starts = [e for e in starts if e.pc == LOOP_PC]
+    assert loop_starts and all(e.insn == loop_starts[0].insn
+                               for e in loop_starts)
+    assert loop_starts[0].insn != 0
+    # cycles monotonically increase
+    cycles = [e.cycle for e in starts]
+    assert cycles == sorted(cycles)

@@ -121,3 +121,11 @@ def test_subprocess_server_roundtrip(loop_elf):
         assert session.exit_code[0] == "Halted" and len(segments) == 1
     finally:
         c.close()
+
+
+def test_prove_keccak_over_wire(client):
+    """ProveKeccakRequest round-trip (api.proto:63-81) in dev mode."""
+    claim = np.arange(8, dtype=np.uint32)
+    receipt = client.prove_keccak(claim, 14, np.zeros(8, np.uint32), [])
+    assert np.array_equal(np.asarray(receipt.claim.digest(), np.uint32),
+                          claim)

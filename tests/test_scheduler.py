@@ -161,3 +161,62 @@ def test_resolve_chain_strips_assumptions(loop_elf):
     finally:
         for w in workers:
             w.stop()
+
+
+def test_pending_keccaks_feed_union_tree(loop_elf):
+    """Session.pending_keccaks become PROVE_KECCAK tasks whose receipts
+    union into one coprocessor receipt (reference job/proof.rs keccak
+    path + union_peak.rs)."""
+    from risc0_tpu.parallel.scheduler import Worker
+    from risc0_tpu.zkvm.claims import UnionClaim
+    from risc0_tpu.zkvm.exec import ExecutorImpl
+
+    factory = Factory()
+    prover = DevModeProver()
+
+    def cpu_processor(task):
+        env, elf = task.payload
+        session = ExecutorImpl(env, elf).run()
+        session.pending_keccaks = [
+            {"claim_digest": np.full(8, i + 1, np.uint32).tobytes(),
+             "control_root": b"\0" * 32, "po2": 14, "input": []}
+            for i in range(3)]
+        return session
+
+    workers = [Worker(factory, [TaskKind.EXECUTE], cpu_processor,
+                      "cpu").start()]
+    accel = Worker(factory, [TaskKind.PROVE_SEGMENT, TaskKind.PROVE_KECCAK,
+                             TaskKind.LIFT, TaskKind.JOIN, TaskKind.UNION,
+                             TaskKind.RESOLVE],
+                   lambda t: _accel(prover, t), "accel").start()
+    workers.append(accel)
+    try:
+        env = ExecutorEnv(segment_po2=16).write_slice(
+            (10).to_bytes(4, "little"))
+        job = ProofJob(factory, prover, env, loop_elf)
+        _session, receipt = job.run()
+        assert receipt.claim.exit_code.kind == "Halted"
+        assert len(job.coproc_receipts) == 3
+        assert isinstance(job.union_receipt.claim, UnionClaim)
+    finally:
+        for w in workers:
+            w.stop()
+
+
+def _accel(prover, task):
+    from risc0_tpu.parallel.scheduler import TaskKind as K
+
+    if task.kind == K.PROVE_SEGMENT:
+        return prover.prove_segment(*task.payload)
+    if task.kind == K.PROVE_KECCAK:
+        return prover.prove_keccak(task.payload)
+    if task.kind == K.LIFT:
+        return prover.lift(task.payload[1])
+    if task.kind == K.JOIN:
+        a, b = task.payload
+        return prover.join(a.receipt, b.receipt)
+    if task.kind == K.UNION:
+        return prover.union(*task.payload)
+    if task.kind == K.RESOLVE:
+        return prover.resolve(*task.payload)
+    raise RuntimeError(task.kind)
