@@ -20,6 +20,12 @@ if not os.environ.get("RISC0_TPU_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: repeated suite runs skip the big XLA
+    # compiles (fib proves, sharded pipelines, eval_check); tracing still
+    # runs per process
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import numpy as np
 import pytest
