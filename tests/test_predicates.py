@@ -150,3 +150,31 @@ def test_union_prove_verify(rv32im_seal):
                        np.asarray(root, np.uint32)).digest()
     want = UnionClaim(left=assum, right=assum).digest()
     assert np.array_equal(u.claim.digest(), want)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RISC0_TPU_SLOW_TESTS"),
+    reason="two recursion proves incl. a poseidon254-suite prove (slow)")
+def test_identity_p254_wrap_chain(rv32im_seal):
+    """VERDICT r1 item 7: segment seal -> lift -> identity_p254 receipt
+    under the poseidon254 suite (the stark-to-snark wrap input), verified,
+    and serialized to the circom witness JSON."""
+    import json
+
+    from risc0_tpu.circuit.rv32im.claim import decode_claim
+    from risc0_tpu.groth16.seal_to_json import to_json
+    from risc0_tpu.zkvm.receipt import SegmentReceipt, VerifierContext
+    from risc0_tpu.zkvm.recursion_driver import identity_p254, lift
+
+    sr = SegmentReceipt(seal=rv32im_seal, index=0, hashfn="poseidon2",
+                        claim=decode_claim(rv32im_seal))
+    inner = lift(sr)
+    wrapped = identity_p254(inner)
+    assert wrapped.hashfn == "poseidon254"
+    assert np.array_equal(wrapped.claim.digest(), inner.claim.digest())
+    from risc0_tpu.circuit.recursion.predicates import identity_p254_control_id
+    ctx = VerifierContext(hashfn="poseidon254",
+                          control_root=wrapped.control_root)
+    wrapped.verify_integrity(ctx)
+    blob = json.loads(to_json(wrapped.seal))
+    assert len(blob["iop"]) > 1000
