@@ -118,8 +118,11 @@ def lift_keccak(keccak_seal, po2: int) -> SuccinctReceipt:
         tape.extend([int(w) & 0xFFFF, int(w) >> 16])
     tape.append(1 << po2)
     prog = load_keccak_lift(po2)
-    control_id = prog.control_id()
-    receipt = prove_zkr(prog, control_id, [control_id], tape,
+    # prove against OUR allowed set (keccak_lift ids are members, see
+    # scripts/gen_predicates.py --keccak) so the receipt unions/resolves
+    # with rv32im receipts under one control root
+    ids, leaves, _root = _allowed()
+    receipt = prove_zkr(prog, ids[f"keccak_lift_{po2}"], leaves, tape,
                         claim=MaybePruned.from_digest(
                             np.asarray(claim, np.uint32)))
     if not np.array_equal(receipt_claim_digest(receipt),

@@ -30,11 +30,12 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--po2s", default="14")
+    ap.add_argument("--po2s", default="")
     ap.add_argument("--join", action="store_true")
     ap.add_argument("--resolve", action="store_true")
     ap.add_argument("--identity", action="store_true")
     ap.add_argument("--union", action="store_true")
+    ap.add_argument("--keccak", action="store_true")
     a = ap.parse_args()
 
     from risc0_tpu.circuit.recursion import predicates as pr
@@ -71,6 +72,21 @@ def main():
         ids.append(np.asarray(cid, np.uint32))
         print(f"  {name}: control_id {bytes(cid.tobytes()).hex()} "
               f"({time.time()-t0:.0f}s)")
+
+    if a.keccak:
+        # released keccak_lift programs join the allowed set so keccak
+        # coprocessor receipts can be unioned/resolved (reference
+        # control_id.rs ALLOWED_CONTROL_IDS includes them)
+        from risc0_tpu.circuit.recursion.prove import load_keccak_lift
+
+        for po2 in range(14, 19):
+            t0 = time.time()
+            prog = load_keccak_lift(po2)
+            cid = prog.control_id()
+            names.append(f"keccak_lift_{po2}")
+            ids.append(np.asarray(cid, np.uint32))
+            print(f"  keccak_lift_{po2}: control_id "
+                  f"{bytes(cid.tobytes()).hex()} ({time.time()-t0:.0f}s)")
 
     p254_id = None
     if a.identity:

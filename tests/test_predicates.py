@@ -178,3 +178,26 @@ def test_identity_p254_wrap_chain(rv32im_seal):
     wrapped.verify_integrity(ctx)
     blob = json.loads(to_json(wrapped.seal))
     assert len(blob["iop"]) > 1000
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RISC0_TPU_SLOW_TESTS"),
+    reason="keccak prove + two keccak lifts + union prove (slow)")
+def test_keccak_union_e2e():
+    """Reference keccak flow: coprocessor seals -> keccak_lift succinct
+    receipts (against OUR allowed set) -> union receipt binding both
+    claims (host/server/prove/union_peak.rs usage)."""
+    from risc0_tpu.circuit.keccak import prove_keccak
+    from risc0_tpu.zkvm.receipt import VerifierContext
+    from risc0_tpu.zkvm.recursion_driver import lift_keccak, union
+
+    rng = np.random.default_rng(6)
+    receipts = []
+    for seed in (1, 2):
+        inputs = [[int(x) for x in rng.integers(0, 1 << 64, 25,
+                                                dtype=np.uint64)]]
+        seal = prove_keccak(inputs, 14)
+        receipts.append(lift_keccak(seal, 14))
+    u = union(receipts[0], receipts[1])
+    _ids, root = own_control_ids()
+    u.verify_integrity(VerifierContext(control_root=root))
