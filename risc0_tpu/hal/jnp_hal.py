@@ -390,14 +390,45 @@ def _commit_pipeline_p2(witness, zk: bool = True, use_pallas: bool = False):
     """
     shard = _SHARD["mesh"] is not None
     coeffs_nat, evaluated, leaves = _commit_leaves_p2(
-        witness, zk, use_pallas and not shard, shard=shard)
+        witness, zk, use_pallas and not shard, shard=shard,
+        pallas_ntt=_use_pallas_ntt())
     return (coeffs_nat, evaluated, leaves) + _fold_tree_p2(leaves,
                                                            shard=shard)
 
 
-@partial(jax.jit, static_argnames=("zk", "use_pallas", "shard"))
+def _use_pallas_ntt() -> bool:
+    """Opt-in fused two-pass NTT (hal/pallas/ntt.py) — compiled backends
+    only (CPU would need interpret mode; conformance is covered by
+    tests/test_pallas_ntt.py in interpret mode)."""
+    import os
+
+    if os.environ.get("RISC0_TPU_PALLAS_NTT") != "1":
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+@partial(jax.jit, static_argnames=("zk", "use_pallas", "shard",
+                                   "pallas_ntt"))
 def _commit_leaves_p2(witness, zk: bool = True, use_pallas: bool = False,
-                      shard: bool = False):
+                      shard: bool = False, pallas_ntt: bool = False):
+    if pallas_ntt and not shard:
+        from .pallas import ntt as pntt
+
+        coeffs = pntt.interpolate_ntt(witness)
+        if zk:
+            coeffs = ntt.zk_shift(coeffs)
+        evaluated = pntt.evaluate_ntt(ntt.expand(coeffs, 2), 2)
+        coeffs_nat = ntt.bit_reverse(coeffs)
+        if use_pallas:
+            from .pallas import poseidon2 as pk
+
+            leaves = pk.hash_rows(evaluated)
+        else:
+            leaves = p2._hash_rows_impl(evaluated)
+        return coeffs_nat, evaluated, leaves
     cols0 = witness.shape[0]
     if shard:
         # per-column iNTT/zk/LDE: columns sharded, rows local.  Pad the
