@@ -159,6 +159,7 @@ class ProofJob:
         # union_peak.rs MMR)
         self.coproc_receipts = list(coproc_receipts or [])
         self.union_receipt = None
+        self.max_retries = 2  # per-task transient-failure retries
         ProofJob._next_id[0] += 1
         self.job_id = ProofJob._next_id[0]
         self._task_counter = 0
@@ -195,10 +196,19 @@ class ProofJob:
                 else:
                     i += 1
 
+        retries: dict = {}
         while outstanding > 0:
             done: TaskDone = chan.get()
             outstanding -= 1
             if done.error is not None:
+                # transient-failure recovery (reference manager retry /
+                # dump-for-replay): resubmit up to max_retries, then fail
+                n = retries.get(done.task.task_id, 0)
+                if n < self.max_retries:
+                    retries[done.task.task_id] = n + 1
+                    self.factory.submit(done.task)
+                    outstanding += 1
+                    continue
                 raise done.error
             task, result = done.task, done.result
             if task.kind == TaskKind.EXECUTE:

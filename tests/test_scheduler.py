@@ -220,3 +220,50 @@ def _accel(prover, task):
     if task.kind == K.RESOLVE:
         return prover.resolve(*task.payload)
     raise RuntimeError(task.kind)
+
+
+def test_transient_task_failures_retry(loop_elf):
+    """A task that fails transiently is resubmitted up to max_retries
+    (SURVEY §5 failure recovery); a persistent failure still raises."""
+    from risc0_tpu.parallel.scheduler import Worker
+
+    factory = Factory()
+    prover = DevModeProver()
+    fails = {"n": 0}
+
+    def flaky(task):
+        if task.kind == TaskKind.PROVE_SEGMENT:
+            if fails["n"] < 1:
+                fails["n"] += 1
+                raise RuntimeError("transient OOM")
+            return prover.prove_segment(*task.payload)
+        return _accel(prover, task)
+
+    from risc0_tpu.zkvm.exec import ExecutorImpl
+
+    workers = [
+        Worker(factory, [TaskKind.EXECUTE],
+               lambda t: ExecutorImpl(*t.payload).run(), "cpu").start(),
+        Worker(factory, [TaskKind.PROVE_SEGMENT, TaskKind.LIFT,
+                         TaskKind.JOIN, TaskKind.UNION, TaskKind.RESOLVE],
+               flaky, "accel").start()]
+    try:
+        env = ExecutorEnv(segment_po2=16).write_slice(
+            (10).to_bytes(4, "little"))
+        _s, receipt = ProofJob(factory, prover, env, loop_elf).run()
+        assert receipt.claim.exit_code.kind == "Halted"
+        assert fails["n"] == 1
+
+        # persistent failure exhausts retries and raises
+        def always_fail(task):
+            if task.kind == TaskKind.PROVE_SEGMENT:
+                raise RuntimeError("hard failure")
+            return _accel(prover, task)
+
+        workers[1].processor = always_fail
+        job = ProofJob(factory, prover, env, loop_elf)
+        with pytest.raises(RuntimeError, match="hard failure"):
+            job.run()
+    finally:
+        for w in workers:
+            w.stop()
