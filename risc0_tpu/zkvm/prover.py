@@ -155,6 +155,13 @@ class DevModeProver(ProverServer):
             da, db = db, da
         return FakeReceipt(UnionClaim(left=da, right=db))
 
+    def compress(self, receipt):
+        """Fake receipts are already minimal (reference dev_mode.rs)."""
+        return receipt
+
+    def identity_p254(self, receipt):
+        return receipt
+
     def prove_keccak(self, request: dict):
         import numpy as np
 
@@ -260,6 +267,12 @@ class ProverImpl(ProverServer):
     def prove_keccak(self, request: dict):
         from . import recursion_driver
         return recursion_driver.prove_keccak_request(request)
+
+    def identity_p254(self, receipt):
+        """SuccinctReceipt (poseidon2) -> poseidon254 wrap input
+        (reference recursion/prove/mod.rs identity_p254)."""
+        from . import recursion_driver
+        return recursion_driver.identity_p254(receipt)
 
 
 def _session_work(session):
