@@ -34,6 +34,8 @@ def _count_for_po2(po2: int) -> int:
 def main():
     import jax
 
+    if os.environ.get("RISC0_BENCH_CPU") == "1":  # off-chip smoke runs
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
