@@ -134,7 +134,12 @@ def evaluate_ntt(x, expand_bits: int = 0, interpret: bool = False):
     outer_tabs = _outer_tables(n_bits, True, k)
     blk = 1 << k
     m = n // blk
-    bt = 8 if batch % 8 == 0 else 1
+    batch0 = batch
+    pad = (-batch) % 8  # sublane-align the batch tiles
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        batch += pad
+    bt = 8
 
     def pass1(ref, *rest):
         tab_refs, out = rest[:-1], rest[-1]
@@ -175,7 +180,7 @@ def evaluate_ntt(x, expand_bits: int = 0, interpret: bool = False):
         out_specs=pl.BlockSpec((1, blk, m), lambda i: (i, 0, 0)),
         interpret=interpret,
     )(xt, *[t[None, :] for t in flat])
-    return jnp.swapaxes(xt, -1, -2).reshape(batch, n)
+    return jnp.swapaxes(xt, -1, -2).reshape(batch, n)[:batch0]
 
 
 def interpolate_ntt(x, interpret: bool = False):
@@ -191,7 +196,12 @@ def interpolate_ntt(x, interpret: bool = False):
     outer_tabs = _outer_tables(n_bits, False, k)
     blk = 1 << k
     m = n // blk
-    bt = 8 if batch % 8 == 0 else 1
+    batch0 = batch
+    pad = (-batch) % 8
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        batch += pad
+    bt = 8
     norm = F.s_inv(F.s_encode(n % F.P))
 
     # iNTT runs stages n_bits..1: outer stages first (transposed), then
@@ -236,4 +246,4 @@ def interpolate_ntt(x, interpret: bool = False):
                   for t in rev_tabs],
         out_specs=pl.BlockSpec((bt, blk), lambda i, j: (i, j)),
         interpret=interpret,
-    )(x, *[t[None, :] for t in rev_tabs])
+    )(x, *[t[None, :] for t in rev_tabs])[:batch0]
