@@ -113,15 +113,19 @@ def lift_keccak(keccak_seal, po2: int) -> SuccinctReceipt:
 
     out = verify_keccak_seal(keccak_seal)
     claim = keccak_digest_from_globals(out, montgomery=True)
-    tape = [0] * 8 + [int(x) for x in keccak_seal]
+    # prove against OUR allowed set (keccak_lift ids are members, see
+    # scripts/gen_predicates.py --keccak) so the receipt unions/resolves
+    # with rv32im receipts under one control root; the program echoes the
+    # tape-head control root into its output, which the union/resolve
+    # predicates require to equal the outer allowed root (reference
+    # prove_keccak passes ALLOWED_CONTROL_ROOT the same way)
+    ids, leaves, root = _allowed()
+    tape = [int(w) for w in np.asarray(root, np.uint32)]
+    tape += [int(x) for x in keccak_seal]
     for w in claim:
         tape.extend([int(w) & 0xFFFF, int(w) >> 16])
     tape.append(1 << po2)
     prog = load_keccak_lift(po2)
-    # prove against OUR allowed set (keccak_lift ids are members, see
-    # scripts/gen_predicates.py --keccak) so the receipt unions/resolves
-    # with rv32im receipts under one control root
-    ids, leaves, _root = _allowed()
     receipt = prove_zkr(prog, ids[f"keccak_lift_{po2}"], leaves, tape,
                         claim=MaybePruned.from_digest(
                             np.asarray(claim, np.uint32)))
