@@ -524,6 +524,13 @@ def make_eval_check(circuit, po2: int, chunk: int = 2048):
 
     from ..hal import jnp_hal as _hal
     if _hal._SHARD["mesh"] is not None:
+        # shard_map closures aren't exportable; mesh path stays plain jit
         return _make_eval_check_sharded(plan, per_buf, invz_pat, domain, T,
                                         n_chunks, nf, ne, nc)
-    return run
+
+    # cross-process trace cache: the first process exports the traced
+    # module, later processes skip the ~50 s re-trace entirely
+    from ..hal.trace_cache import TraceCached, fingerprint
+    key = fingerprint(getattr(circuit, "CIRCUIT_INFO", b""), po2, T,
+                      n_chunks, plan)
+    return TraceCached(run, key, label="eval_check")
