@@ -315,7 +315,8 @@ int r0_preflight_segment(
     uint32_t segment_threshold, uint32_t has_terminate,
     const uint8_t* read_record, const uint64_t* read_lens, uint64_t num_reads,
     const uint32_t* write_lens, uint64_t num_writes,
-    const uint32_t input_digest[8], void* user, r0_preflight_fn cb) {
+    const uint32_t input_digest[8], const uint32_t* povw_nonce, void* user,
+    r0_preflight_fn cb) {
   try {
     Segment seg;
     seg.po2 = po2;
@@ -340,6 +341,8 @@ int r0_preflight_segment(
     }
     seg.write_record.assign(write_lens, write_lens + num_writes);
     if (input_digest) std::memcpy(seg.input_digest.data(), input_digest, 32);
+    if (povw_nonce)
+      std::memcpy(seg.povw_nonce.data(), povw_nonce, 32);
 
     PreflightTrace trace = preflight_segment(seg, po2);
 

@@ -208,6 +208,9 @@ struct Segment {
   uint32_t paging_cycles = 0;
   uint32_t segment_threshold = 0;
   Digest pre_digest{}, post_digest{}, input_digest{};
+  // PoVW nonce read by the LoadRootAndNonce cycle from the reserved region
+  // (reference preflight.rs:580-587); zero when PoVW is unused.
+  std::array<uint32_t, 8> povw_nonce{};
   std::optional<Digest> output_digest;
   std::optional<TerminateState> terminate_state;
   // partial pre-image for standalone replay: pages + uncle digests

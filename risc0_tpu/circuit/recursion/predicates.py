@@ -589,6 +589,272 @@ def resolve() -> "Program":
 
 
 # ---------------------------------------------------------------------------
+# PoVW predicate variants: WorkClaim-wrapped lift/join/resolve + unwrap
+# (reference recursion/prove/mod.rs:88-173, 255-332, 336-392 and the
+# lift_rv32im_v2_povw_{po2}/join_povw/unwrap_povw zkrs from zkr.rs:70-95)
+# ---------------------------------------------------------------------------
+
+def _short_check(a, cell):
+    """Range-constrain a cell to 16 bits."""
+    a.eq(a.bit_and_elem(cell, a.const(0xFFFF)), cell)
+    return cell
+
+
+def _work_digest(gen: Gen, min_u16s, max_u16s, value_u16s):
+    """tagged digest of Work{nonce_min, nonce_max, value}: data words are
+    the 16+16+4 u16 limbs (claim/work.rs:231-238 encode_to_seal)."""
+    return tagged_sha(gen, "risc0.Work", [],
+                      list(min_u16s) + list(max_u16s) + list(value_u16s))
+
+
+def _read_work(gen: Gen):
+    """Read an untrusted Work record from the tape: nonce_min/nonce_max as
+    8 raw words each + value as 2 raw words; returns u16 limb cells (LE)
+    and the in-VM Work digest."""
+    a = gen.a
+    out = {}
+    for name, n in (("min", 8), ("max", 8), ("value", 2)):
+        _, pairs = _read_raw_words(gen, n)
+        limbs = []
+        for c in pairs:
+            limbs.append(a.extract(c, 0))
+            limbs.append(a.extract(c, 1))
+        out[name] = limbs
+    out["digest"] = _work_digest(gen, out["min"], out["max"], out["value"])
+    return out
+
+
+def _work_claim_digest(gen: Gen, claim_pairs, work_digest):
+    """tagged digest of WorkClaim{claim, work} (claim/work.rs:55-67)."""
+    return tagged_sha(gen, "risc0.WorkClaim", [claim_pairs, work_digest], [])
+
+
+def _check_contiguous(gen: Gen, lmax_u16s, rmin_u16s):
+    """Constrain right.nonce_min == left.nonce_max + 1 over 16-bit limbs
+    with in-VM carry propagation; overflow (final carry) is rejected
+    (claim/work.rs:146-170 join semantics)."""
+    a = gen.a
+    inv16 = a.const(pow(1 << 16, P - 2, P))
+    mask = a.const(0xFFFF)
+    carry = a.const(1)
+    for i in range(16):
+        s = a.add(lmax_u16s[i], carry)
+        low = a.bit_and_elem(s, mask)
+        a.eq(low, rmin_u16s[i])
+        carry = a.mul(a.sub(s, low), inv16)
+    a.eq(carry, a.const(0))
+
+
+def _sum_u64(gen: Gen, l_u16s, r_u16s):
+    """l + r over 4 u16 limbs with carry; overflow rejected.  Returns the
+    sum's limb cells."""
+    a = gen.a
+    inv16 = a.const(pow(1 << 16, P - 2, P))
+    mask = a.const(0xFFFF)
+    carry = a.const(0)
+    out = []
+    for j in range(4):
+        s = a.add(a.add(l_u16s[j], r_u16s[j]), carry)
+        low = a.bit_and_elem(s, mask)
+        out.append(low)
+        carry = a.mul(a.sub(s, low), inv16)
+    a.eq(carry, a.const(0))
+    return out
+
+
+def _emit_output(a, root_echo, claim_cells):
+    """Standard predicate output: [control_root | claim digest]."""
+    a.set_global(root_echo[0], 0)
+    a.set_global(root_echo[4], 1)
+    a.set_global(claim_cells[0], 2)
+    a.set_global(claim_cells[4], 3)
+    for c in root_echo + list(claim_cells):
+        a.output(c)
+
+
+def _contiguous_copy(a, cells, n=8):
+    """Copy cells to contiguous WOM addresses (set_global needs a run)."""
+    a._flush()
+    out = [a.add(c, 0) for c in cells]
+    assert out == list(range(out[0], out[0] + n))
+    return out
+
+
+def lift_rv32im_povw(po2: int):
+    """PoVW lift: verify an rv32im seal and output a WorkClaim binding the
+    segment's ReceiptClaim to Work{nonce, nonce, 1 << po2} where the nonce
+    comes from the seal's povw_nonce globals (reference
+    lift_rv32im_v2_povw_{po2}.zkr; work value = cycles proven, a per-po2
+    program constant).
+
+    Input tape: [control_root (8 raw words)] ++ rv32im seal.
+    Output: [control_root | WorkClaim digest].
+    """
+    a = Asm()
+    gen = Gen(a)
+    a.read_iop_header(8, k=2)
+    raw = [a.read_iop_body(do_mont=False) for _ in range(8)]
+    words = [a.add(a.extract(c, 0),
+                   a.mul(a.extract(c, 1), a.const(1 << 16))) for c in raw]
+    root_echo = _contiguous_copy(a, words)
+    out_cells, _mix = gen_verify(gen, rv32im_spec(po2), po2)
+    claim = emit_rv32im_claim_digest(gen, out_cells)
+
+    lay = _layout()
+    nonce = []
+    for pair in lay["povw_nonce"]["values"]:
+        for key in ("low", "high"):
+            nonce.append(_short_check(a, out_cells[_reg(pair[key])]))
+    v = 1 << po2
+    value = [a.const((v >> (16 * j)) & 0xFFFF) for j in range(4)]
+    work = _work_digest(gen, nonce, nonce, value)
+    wclaim = _work_claim_digest(gen, claim, work)
+    _emit_output(a, root_echo, wclaim)
+    return a.program(RECURSION_PO2)
+
+
+def join_povw(unwrap: bool = False):
+    """PoVW join: verify two WorkClaim succinct seals, check the claim
+    chain AND that the nonce ranges are contiguous, output the joined
+    WorkClaim (or the bare joined ReceiptClaim when `unwrap`, matching
+    join_unwrap_povw) (reference recursion/prove/mod.rs:137-173).
+
+    Input tape:
+      control_root (8 raw words)
+      [incl index, 8 sibling digests] ++ left seal
+      left claim body ++ left work (min 8w, max 8w, value 2w)
+      [incl index, 8 sibling digests] ++ right seal
+      right claim body ++ right work
+    """
+    a = Asm()
+    gen = Gen(a)
+    root_words, _ = _read_raw_words(gen, 8)
+    root_echo = _contiguous_copy(a, root_words)
+    root_abs = [a.mul(w, a.const(pow(F.R % P, P - 2, P)))
+                for w in root_words]
+
+    sides = []
+    for _ in range(2):
+        halfs = _verify_inner_succinct(gen, root_words, root_abs)
+        claim = _read_claim(gen)
+        work = _read_work(gen)
+        wc = _work_claim_digest(gen, claim["digest"], work["digest"])
+        _eq_halfs_vs_pairs(gen, halfs, wc)
+        sides.append((claim, work))
+    (left, lwork), (right, rwork) = sides
+
+    for lw, rw in zip(left["post"], right["pre"]):
+        a.eq(lw, rw)
+    a.eq(left["sys"], a.const(2))
+    a.eq(left["user"], a.const(0))
+    _check_contiguous(gen, lwork["max"], rwork["min"])
+    value = _sum_u64(gen, lwork["value"], rwork["value"])
+
+    joined = tagged_sha(
+        gen, "risc0.ReceiptClaim",
+        [left["input"], left["pre"], right["post"], right["output"]],
+        [right["sys"], right["user"]])
+    if unwrap:
+        out = joined
+    else:
+        jwork = _work_digest(gen, lwork["min"], rwork["max"], value)
+        out = _work_claim_digest(gen, joined, jwork)
+    _emit_output(a, root_echo, out)
+    return a.program(RECURSION_PO2)
+
+
+def unwrap_povw():
+    """Unwrap: verify one WorkClaim succinct seal and re-emit the inner
+    ReceiptClaim digest, discarding the work record (reference
+    recursion/prove/mod.rs:336-352).
+
+    Input tape:
+      control_root (8 raw words)
+      [incl index, 8 sibling digests] ++ inner seal
+      claim body ++ work (min 8w, max 8w, value 2w)
+    Output: [control_root | inner ReceiptClaim digest].
+    """
+    a = Asm()
+    gen = Gen(a)
+    root_words, _ = _read_raw_words(gen, 8)
+    root_echo = _contiguous_copy(a, root_words)
+    root_abs = [a.mul(w, a.const(pow(F.R % P, P - 2, P)))
+                for w in root_words]
+
+    halfs = _verify_inner_succinct(gen, root_words, root_abs)
+    claim = _read_claim(gen)
+    work = _read_work(gen)
+    wc = _work_claim_digest(gen, claim["digest"], work["digest"])
+    _eq_halfs_vs_pairs(gen, halfs, wc)
+
+    _emit_output(a, root_echo, claim["digest"])
+    return a.program(RECURSION_PO2)
+
+
+def resolve_povw(unwrap: bool = False):
+    """PoVW resolve: remove the head assumption from a WorkClaim-wrapped
+    conditional receipt, passing the work record through unchanged; the
+    assumption seal is a plain (non-PoVW) succinct receipt (reference
+    recursion/prove/mod.rs:255-332).
+
+    Input tape:
+      control_root (8 raw words)
+      [incl index, 8 sibling digests] ++ cond seal
+      cond fields: input/pre/post digests (raw) + sys + user
+      journal digest (8 raw), head assumption claim digest (8 raw),
+      rest-of-assumptions digest (8 raw)
+      cond work (min 8w, max 8w, value 2w)
+      [incl index, 8 sibling digests] ++ assumption seal
+    Output: [control_root | resolved (Work)Claim digest].
+    """
+    a = Asm()
+    gen = Gen(a)
+    root_words, _ = _read_raw_words(gen, 8)
+    root_echo = _contiguous_copy(a, root_words)
+    root_abs = [a.mul(w, a.const(pow(F.R % P, P - 2, P)))
+                for w in root_words]
+
+    cond_halfs = _verify_inner_succinct(gen, root_words, root_abs)
+    fields = {}
+    for name in ("input", "pre", "post"):
+        _, fields[name] = _read_raw_words(gen, 8)
+    a.read_iop_header(2, k=2)
+    sys_exit = a.extract(a.read_iop_body(do_mont=False), 0)
+    user_exit = a.extract(a.read_iop_body(do_mont=False), 0)
+    _, journal = _read_raw_words(gen, 8)
+    _, assum_claim = _read_raw_words(gen, 8)
+    _, rest = _read_raw_words(gen, 8)
+    work = _read_work(gen)
+
+    zero_pairs = [a.const(0)] * 8
+    head = tagged_sha(gen, "risc0.Assumption", [assum_claim, zero_pairs], [])
+    assumptions = tagged_sha(gen, "risc0.Assumptions", [head, rest], [])
+    output_digest = tagged_sha(gen, "risc0.Output", [journal, assumptions],
+                               [])
+    cond_claim = tagged_sha(
+        gen, "risc0.ReceiptClaim",
+        [fields["input"], fields["pre"], fields["post"], output_digest],
+        [sys_exit, user_exit])
+    cond_wc = _work_claim_digest(gen, cond_claim, work["digest"])
+    _eq_halfs_vs_pairs(gen, cond_halfs, cond_wc)
+
+    assum_halfs = _verify_inner_succinct(gen, root_words, root_abs)
+    _eq_halfs_vs_pairs(gen, assum_halfs, assum_claim)
+
+    resolved_output = tagged_sha(gen, "risc0.Output", [journal, rest], [])
+    resolved = tagged_sha(
+        gen, "risc0.ReceiptClaim",
+        [fields["input"], fields["pre"], fields["post"], resolved_output],
+        [sys_exit, user_exit])
+    if unwrap:
+        out = resolved
+    else:
+        out = _work_claim_digest(gen, resolved, work["digest"])
+    _emit_output(a, root_echo, out)
+    return a.program(RECURSION_PO2)
+
+
+# ---------------------------------------------------------------------------
 # vendored program set + own control IDs
 # ---------------------------------------------------------------------------
 

@@ -95,3 +95,27 @@ def decode_claim(seal) -> ReceiptClaim:
         output=output if is_terminate == 1 else MaybePruned.from_digest(
             np.zeros(8, np.uint32)),
     )
+
+
+def decode_work(seal) -> "Work":
+    """Decode the PoVW Work record a lift_povw predicate would emit for
+    this seal: single-nonce range from the povw_nonce globals, value =
+    cycles proven = 1 << po2 (the per-po2 lift_rv32im_v2_povw program
+    constant; reference recursion/prove/zkr.rs:70-76)."""
+    from ...zkvm.povw import PovwNonce, Work
+
+    seal = np.asarray(seal, np.uint32)
+    if seal[0] != RV32IM_SEAL_VERSION:
+        raise ValueError("seal version mismatch")
+    g = F.decode_np(seal[1 : 1 + OUTPUT_SIZE])
+    po2 = int(seal[1 + OUTPUT_SIZE])
+    lay = _layout()
+    halfs = []
+    for pair in lay["povw_nonce"]["values"]:
+        for key in ("low", "high"):
+            v = int(g[_reg(pair[key])])
+            if v >= 1 << 16:
+                raise ValueError("nonce short out of range")
+            halfs.append(v)
+    nonce = PovwNonce.from_u16s(halfs)
+    return Work(nonce_min=nonce, nonce_max=nonce, value=1 << po2)

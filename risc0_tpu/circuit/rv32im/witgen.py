@@ -174,7 +174,9 @@ def build_global(seg, rand_z):
         g[gm["rng"] + i] = rand_z[i]
     g[gm["is_terminate"]] = 0 if seg.terminate_state is None else 1
     g[gm["shutdown_cycle"]] = seg.segment_threshold
-    set_digest(gm["povw_nonce"], [0] * 8)
+    nonce = getattr(seg, "povw_nonce", None)
+    set_digest(gm["povw_nonce"],
+               [0] * 8 if nonce is None else nonce.to_u32s())
     return g
 
 

@@ -134,6 +134,10 @@ class SegmentInfo:
     page_digests: dict   # node_idx -> np.ndarray(8)
     read_record: list
     write_record: list
+    # PoVW nonce (zkvm.povw.PovwNonce) when the env carried a povw_job_id;
+    # flows into the circuit globals + the LoadRootAndNonce preflight reads
+    # (reference witgen/mod.rs:309-324, preflight.rs:580-587)
+    povw_nonce: object | None = None
 
 
 @dataclass
@@ -543,10 +547,22 @@ def preflight_segment(seg: "SegmentInfo") -> dict:
                C.POINTER(C.c_uint8)),
         read_lens.ctypes.data_as(C.POINTER(C.c_uint64)), len(read_lens),
         write_lens.ctypes.data_as(C.POINTER(C.c_uint32)), len(write_lens),
-        input_d.ctypes.data_as(C.POINTER(C.c_uint32)), None, cb)
+        input_d.ctypes.data_as(C.POINTER(C.c_uint32)),
+        (nonce_np.ctypes.data_as(C.POINTER(C.c_uint32))
+         if (nonce_np := _povw_nonce_words(seg)) is not None else None),
+        None, cb)
     if rc != 0:
         raise RuntimeError(lib.r0_last_error().decode())
     return out
+
+
+def _povw_nonce_words(seg) -> "np.ndarray | None":
+    """Segment PoVW nonce as 8 LE u32 words (binfmt povw.rs to_u32s), or
+    None when PoVW is unused."""
+    nonce = getattr(seg, "povw_nonce", None)
+    if nonce is None:
+        return None
+    return np.frombuffer(nonce.to_bytes(), np.uint32).copy()
 
 
 def replay_segment(seg: "SegmentInfo", input_digest=None) -> dict:
@@ -708,6 +724,8 @@ class ExecutorImpl:
                 pages=pages, page_digests=digests,
                 read_record=reads,
                 write_record=[seg.write_lens[i] for i in range(seg.num_writes)],
+                povw_nonce=(self.env.povw_job_id.nonce(seg.index)
+                            if self.env.povw_job_id is not None else None),
             )
             if self.env.segment_path is not None:
                 import pickle

@@ -159,7 +159,8 @@ def _configure(l):
         C.c_uint32, C.c_uint32, C.c_uint32, C.c_uint32,
         C.POINTER(C.c_uint8), C.POINTER(C.c_uint64), C.c_uint64,
         C.POINTER(C.c_uint32), C.c_uint64,
-        C.POINTER(C.c_uint32), C.c_void_p, PREFLIGHT_FN]
+        C.POINTER(C.c_uint32), C.POINTER(C.c_uint32), C.c_void_p,
+        PREFLIGHT_FN]
     l.r0_machine_fork.restype = C.c_void_p
     l.r0_machine_fork.argtypes = [C.c_void_p, C.c_void_p, HOST_READ_FN,
                                   HOST_WRITE_FN, C.POINTER(C.c_void_p)]

@@ -295,6 +295,166 @@ class MerkleMountainAccumulator:
         return acc
 
 
+# ---------------------------------------------------------------------------
+# PoVW variants: WorkClaim-wrapped receipts threading nonces in-circuit
+# (reference recursion/prove/mod.rs:88-173, 255-352)
+# ---------------------------------------------------------------------------
+
+def _work_tape_words(work) -> list[int]:
+    """nonce_min/nonce_max as 8 raw u32 words each + value as 2 raw words
+    (predicates._read_work layout)."""
+    words = [int(w) for w in work.nonce_min.to_u32s()]
+    words += [int(w) for w in work.nonce_max.to_u32s()]
+    words += [int(w) for w in np.frombuffer(
+        int(work.value).to_bytes(8, "little"), np.uint32)]
+    return words
+
+
+def lift_povw(segment_receipt) -> SuccinctReceipt:
+    """rv32im SegmentReceipt -> SuccinctReceipt[WorkClaim] via
+    lift_rv32im_povw_{po2} (reference recursion/prove/mod.rs:88-103).  The
+    receipt claim is WorkClaim{segment claim, Work{nonce, nonce, cycles}}
+    with the nonce read from the seal's povw_nonce globals in-VM."""
+    from ..circuit.rv32im.claim import decode_work
+    from .povw import WorkClaim
+
+    seal = np.asarray(segment_receipt.seal, np.uint32)
+    po2 = int(seal[91])
+    ids, leaves, root = _allowed()
+    name = f"lift_rv32im_povw_{po2}"
+    if name not in ids:
+        raise VerificationError(
+            f"no PoVW lift predicate for po2={po2}; regenerate with "
+            f"scripts/gen_predicates.py --povw-po2s {po2}")
+    prog = load_own_program(name)
+    tape = [int(w) for w in np.asarray(root, np.uint32)]
+    tape += [int(w) for w in seal]
+    wc = WorkClaim(segment_receipt.claim, decode_work(seal))
+    receipt = prove_zkr(prog, ids[name], leaves, tape, claim=wc)
+    if not np.array_equal(receipt_claim_digest(receipt), wc.digest()):
+        raise VerificationError("lift_povw output claim digest mismatch")
+    return receipt
+
+
+def join_povw(left: SuccinctReceipt, right: SuccinctReceipt,
+              unwrap: bool = False) -> SuccinctReceipt:
+    """Join two WorkClaim receipts: claims must chain AND nonce ranges must
+    be contiguous; work values sum.  With `unwrap`, the joined receipt
+    carries the bare ReceiptClaim (join_unwrap_povw; reference
+    recursion/prove/mod.rs:137-173)."""
+    from .povw import WorkClaim
+
+    ids, leaves, root = _allowed()
+    group = MerkleGroup(leaves)
+    name = "join_unwrap_povw" if unwrap else "join_povw"
+    prog = load_own_program(name)
+    tape = [int(w) for w in np.asarray(root, np.uint32)]
+    for r in (left, right):
+        tape += _proof_words(group, r.control_id)
+        tape += [int(w) for w in np.asarray(r.seal, np.uint32)]
+        tape += _claim_body_words(r.claim.claim)
+        tape += _work_tape_words(r.claim.work)
+    joined_claim = ReceiptClaim(
+        pre=left.claim.claim.pre, post=right.claim.claim.post,
+        exit_code=right.claim.claim.exit_code,
+        input=left.claim.claim.input, output=right.claim.claim.output)
+    joined_work = left.claim.work.join(right.claim.work)
+    claim = joined_claim if unwrap else WorkClaim(joined_claim, joined_work)
+    receipt = prove_zkr(prog, ids[name], leaves, tape, claim=claim)
+    if not np.array_equal(receipt_claim_digest(receipt), claim.digest()):
+        raise VerificationError(f"{name} output claim digest mismatch")
+    return receipt
+
+
+def unwrap_povw(inner: SuccinctReceipt) -> SuccinctReceipt:
+    """SuccinctReceipt[WorkClaim] -> SuccinctReceipt[ReceiptClaim],
+    discarding the work record (reference recursion/prove/mod.rs:336-352)."""
+    ids, leaves, root = _allowed()
+    group = MerkleGroup(leaves)
+    prog = load_own_program("unwrap_povw")
+    tape = [int(w) for w in np.asarray(root, np.uint32)]
+    tape += _proof_words(group, inner.control_id)
+    tape += [int(w) for w in np.asarray(inner.seal, np.uint32)]
+    tape += _claim_body_words(inner.claim.claim)
+    tape += _work_tape_words(inner.claim.work)
+    claim = inner.claim.claim
+    receipt = prove_zkr(prog, ids["unwrap_povw"], leaves, tape, claim=claim)
+    if not np.array_equal(receipt_claim_digest(receipt), claim.digest()):
+        raise VerificationError("unwrap_povw output claim digest mismatch")
+    return receipt
+
+
+def resolve_povw(conditional: SuccinctReceipt, assumption: SuccinctReceipt,
+                 unwrap: bool = False) -> SuccinctReceipt:
+    """Resolve the head assumption of a WorkClaim-wrapped conditional
+    receipt; the work record passes through unchanged (reference
+    recursion/prove/mod.rs:255-332).  `assumption` is a plain (non-PoVW)
+    succinct receipt."""
+    from .claims import (Assumptions, MaybePruned, Output, opt_digest)
+    from .povw import WorkClaim
+
+    wc = conditional.claim
+    claim = wc.claim
+    out = claim.output.value if hasattr(claim.output, "value") \
+        else claim.output
+    if out is None or not out.assumptions.value.items:
+        raise VerificationError("conditional receipt has no assumptions")
+    items = out.assumptions.value.items
+    head = items[0]
+    head_claim = head.value.claim if hasattr(head, "value") else head.claim
+    head_claim = np.asarray(
+        head_claim if isinstance(head_claim, np.ndarray)
+        else head_claim.digest(), np.uint32)
+    rest_digest = Assumptions(list(items[1:])).digest()
+    journal = np.asarray(out.journal if isinstance(out.journal, np.ndarray)
+                         else out.journal.digest(), np.uint32)
+
+    ids, leaves, root = _allowed()
+    group = MerkleGroup(leaves)
+    name = "resolve_unwrap_povw" if unwrap else "resolve_povw"
+    prog = load_own_program(name)
+    sys_exit, user_exit = claim.exit_code.into_pair()
+    tape = [int(w) for w in np.asarray(root, np.uint32)]
+    tape += _proof_words(group, conditional.control_id)
+    tape += [int(w) for w in np.asarray(conditional.seal, np.uint32)]
+    for d in (opt_digest(claim.input), claim.pre.digest(),
+              claim.post.digest()):
+        tape += [int(w) for w in np.asarray(d, np.uint32)]
+    tape += [sys_exit, user_exit]
+    for d in (journal, head_claim, rest_digest):
+        tape += [int(w) for w in np.asarray(d, np.uint32)]
+    tape += _work_tape_words(wc.work)
+    tape += _proof_words(group, assumption.control_id)
+    tape += [int(w) for w in np.asarray(assumption.seal, np.uint32)]
+
+    resolved = ReceiptClaim(
+        pre=claim.pre, post=claim.post, exit_code=claim.exit_code,
+        input=claim.input,
+        output=MaybePruned.of(Output(
+            MaybePruned.from_digest(journal),
+            MaybePruned.from_digest(rest_digest))))
+    rclaim = resolved if unwrap else WorkClaim(resolved, wc.work)
+    receipt = prove_zkr(prog, ids[name], leaves, tape, claim=rclaim)
+    if not np.array_equal(receipt_claim_digest(receipt), rclaim.digest()):
+        raise VerificationError(f"{name} output claim digest mismatch")
+    return receipt
+
+
+def compress_composite_povw(composite) -> SuccinctReceipt:
+    """PoVW compress: lift_povw every segment, join_povw the chain, and
+    unwrap the final WorkClaim on the last merge (prover_impl povw flow).
+    Returns (succinct receipt over the bare session claim, total Work)."""
+    lifted = [lift_povw(sr) for sr in composite.segments]
+    if len(lifted) == 1:
+        total = lifted[0].claim.work
+        return unwrap_povw(lifted[0]), total
+    acc = lifted[0]
+    for nxt in lifted[1:-1]:
+        acc = join_povw(acc, nxt)
+    total = acc.claim.work.join(lifted[-1].claim.work)
+    return join_povw(acc, lifted[-1], unwrap=True), total
+
+
 def compress_composite(composite) -> SuccinctReceipt:
     """Lift every segment receipt and left-fold joins (reference
     prover_impl.rs:183-213 compress)."""

@@ -31,10 +31,15 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--po2s", default="")
+    ap.add_argument("--povw-po2s", default="",
+                    help="generate lift_rv32im_povw_{po2} programs")
     ap.add_argument("--join", action="store_true")
     ap.add_argument("--resolve", action="store_true")
     ap.add_argument("--identity", action="store_true")
     ap.add_argument("--union", action="store_true")
+    ap.add_argument("--povw", action="store_true",
+                    help="join_povw/join_unwrap_povw/unwrap_povw/"
+                         "resolve_povw/resolve_unwrap_povw")
     ap.add_argument("--keccak", action="store_true")
     a = ap.parse_args()
 
@@ -56,11 +61,28 @@ def main():
         print(f"  {name}: control_id {bytes(cid.tobytes()).hex()} "
               f"({time.time()-t0:.0f}s)")
 
+    for po2 in [int(x) for x in a.povw_po2s.split(",") if x]:
+        t0 = time.time()
+        prog = pr.lift_rv32im_povw(po2)
+        name = f"lift_rv32im_povw_{po2}"
+        save(prog, os.path.join(zkr_dir, name + ".zkr.xz"))
+        cid = prog.control_id()
+        names.append(name)
+        ids.append(np.asarray(cid, np.uint32))
+        print(f"  {name}: control_id {bytes(cid.tobytes()).hex()} "
+              f"({time.time()-t0:.0f}s)")
+
     for flag, name, build in (
         (a.join, "join", pr.join),
         (a.resolve, "resolve", pr.resolve),
         (a.identity, "identity", pr.identity),
         (a.union, "union", pr.union),
+        (a.povw, "join_povw", pr.join_povw),
+        (a.povw, "join_unwrap_povw", lambda: pr.join_povw(unwrap=True)),
+        (a.povw, "unwrap_povw", pr.unwrap_povw),
+        (a.povw, "resolve_povw", pr.resolve_povw),
+        (a.povw, "resolve_unwrap_povw",
+         lambda: pr.resolve_povw(unwrap=True)),
     ):
         if not flag:
             continue

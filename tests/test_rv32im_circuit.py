@@ -177,6 +177,31 @@ def test_witgen_real_segment():
     assert (acc[-4:, -1] == 0).all()
 
 
+def test_witgen_povw_nonce_real_segment():
+    """A segment executed under a PoVW job id carries its nonce through the
+    LoadRootAndNonce preflight reads and the povw_nonce globals; the EQZ +
+    write-once witgen checks must accept the nonzero-nonce witness
+    (reference witgen/mod.rs:309-324, preflight.rs:580-587)."""
+    from risc0_tpu.circuit.rv32im.witgen import _programs, witgen_exec
+    from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
+    from risc0_tpu.zkvm.povw import PovwJobId
+
+    job = PovwJobId(log=0xABCDEF0123456789ABCDEF0123456789ABCDEF01,
+                    job=0x1122334455667788)
+    elf = open("/root/repo/guests/loop.bin", "rb").read()
+    env = ExecutorEnv(segment_po2=16, povw_job_id=job).write_slice(
+        (100).to_bytes(4, "little"))
+    seg = ExecutorImpl(env, elf).run().segments[0]
+    assert seg.povw_nonce == job.nonce(0)
+
+    res = witgen_exec(seg, rand_z=(5, 6, 7, 8))
+    gm = _programs()["meta"]["global"]
+    halfs = []
+    for lo, hi in gm["povw_nonce"]:
+        halfs += [int(res["global"][lo]), int(res["global"][hi])]
+    assert halfs == [int(h) for h in job.nonce(0).to_u16s()]
+
+
 def test_witgen_rejects_corrupt_txn():
     from risc0_tpu.circuit.rv32im.witgen import witgen_exec
     from risc0_tpu.zkvm.exec import preflight_segment
