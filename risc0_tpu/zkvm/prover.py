@@ -199,11 +199,19 @@ class ProverImpl(ProverServer):
             if hasattr(r, "verify_integrity")]
         composite = CompositeReceipt(
             segments=receipts, assumption_receipts=assumption_receipts)
+        work = _session_work(session)
         if self.opts.receipt_kind == "composite":
             receipt = Receipt(InnerReceipt("composite", composite),
                               session.journal)
         elif self.opts.receipt_kind == "succinct":
-            succinct = self.compress_composite(composite)
+            if getattr(session, "povw_job_id", None) is not None:
+                # in-circuit PoVW: lift_povw/join_povw thread the nonces
+                # through WorkClaims; the final unwrap yields the session
+                # claim and the proven total Work (prover_impl povw flow)
+                from .recursion_driver import compress_composite_povw
+                succinct, work = compress_composite_povw(composite)
+            else:
+                succinct = self.compress_composite(composite)
             receipt = Receipt(InnerReceipt("succinct", succinct),
                               session.journal)
         else:
@@ -213,8 +221,7 @@ class ProverImpl(ProverServer):
         # Self-check before returning (reference prover_impl.rs:155-170).
         ctx = self._verifier_ctx()
         receipt.verify_integrity(ctx)
-        return ProveInfo(receipt=receipt, session=session,
-                         work=_session_work(session))
+        return ProveInfo(receipt=receipt, session=session, work=work)
 
     def _verifier_ctx(self) -> VerifierContext:
         from ..circuit.recursion.predicates import own_control_ids
@@ -255,6 +262,23 @@ class ProverImpl(ProverServer):
     def join(self, a, b):
         from . import recursion_driver
         return recursion_driver.join(a, b)
+
+    def lift_povw(self, segment_receipt):
+        from . import recursion_driver
+        return recursion_driver.lift_povw(segment_receipt)
+
+    def join_povw(self, a, b, unwrap=False):
+        from . import recursion_driver
+        return recursion_driver.join_povw(a, b, unwrap=unwrap)
+
+    def unwrap_povw(self, inner):
+        from . import recursion_driver
+        return recursion_driver.unwrap_povw(inner)
+
+    def resolve_povw(self, conditional, assumption, unwrap=False):
+        from . import recursion_driver
+        return recursion_driver.resolve_povw(conditional, assumption,
+                                             unwrap=unwrap)
 
     def resolve(self, conditional, assumption):
         from . import recursion_driver
