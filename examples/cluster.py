@@ -30,7 +30,7 @@ count = 1
 
 [[prover]]
 count = 4
-subscribe = ["prove-segment", "lift", "join", "union", "resolve"]
+subscribe = ["prove-segment", "lift", "join", "union", "resolve", "unwrap"]
 
 [prover.simulate]
 prove_segment_core = 0.05

@@ -8,7 +8,7 @@ reference uses:
     [api]       listen = "127.0.0.1:8000"        # REST front door
     [manager]   listen = "127.0.0.1:9000"        # task factory
     [executor]  count = 1                        # CPU execute workers
-    [[prover]]  subscribe = ["prove-segment", "lift", "join",
+    [[prover]]  subscribe = ["prove-segment", "lift", "join", "unwrap",
                              "union", "resolve"]  # accel workers
                 manager = "10.0.3.24:9000"       # remote factory (optional)
                 count = 1
@@ -37,6 +37,7 @@ _KIND_NAMES = {
     "join": TaskKind.JOIN,
     "union": TaskKind.UNION,
     "resolve": TaskKind.RESOLVE,
+    "unwrap": TaskKind.UNWRAP,
     "shrink-wrap": TaskKind.SHRINK_WRAP,
 }
 
@@ -185,14 +186,24 @@ def launch_cluster(cfg: AppConfig, prover=None) -> Cluster:
                     seg, claim = task.payload
                     return p.prove_segment(resolve_segment(seg), claim)
                 if task.kind == TaskKind.LIFT:
-                    return p.lift(task.payload[1])
+                    _idx, sr, work = task.payload
+                    if work is not None:
+                        return p.lift_povw(sr, work=work)
+                    return p.lift(sr)
                 if task.kind == TaskKind.JOIN:
-                    a, b = task.payload
+                    a, b, povw = task.payload
+                    if povw:
+                        return p.join_povw(a.receipt, b.receipt)
                     return p.join(a.receipt, b.receipt)
                 if task.kind == TaskKind.UNION:
                     return p.union(*task.payload)
                 if task.kind == TaskKind.RESOLVE:
-                    return p.resolve(*task.payload)
+                    cond, assum, povw = task.payload
+                    if povw:
+                        return p.resolve_povw(cond, assum)
+                    return p.resolve(cond, assum)
+                if task.kind == TaskKind.UNWRAP:
+                    return p.unwrap_povw(task.payload)
                 raise RuntimeError(f"prover worker got {task.kind}")
             return processor
 

@@ -35,6 +35,7 @@ class TaskKind(Enum):
     JOIN = "join"
     UNION = "union"
     RESOLVE = "resolve"
+    UNWRAP = "unwrap"      # strip the PoVW WorkClaim wrapper
     SHRINK_WRAP = "shrink_wrap"
 
 
@@ -154,6 +155,11 @@ class ProofJob:
         self.env = env
         self.elf = elf
         self.receipt_kind = receipt_kind
+        # PoVW mode: lift/join produce WorkClaim receipts threading the
+        # per-segment nonces; the final receipt is unwrapped back to the
+        # bare session claim (reference job/proof.rs povw task variants)
+        self.povw = getattr(env, "povw_job_id", None) is not None
+        self.work = None  # proven total Work (set when povw)
         # already-proven coprocessor receipts (e.g. keccak) to be merged
         # into one union receipt (reference job/proof.rs keccak path +
         # union_peak.rs MMR)
@@ -190,7 +196,7 @@ class ProofJob:
             while i + 1 < len(lifted):
                 a, b = lifted[i], lifted[i + 1]
                 if a.hi + 1 == b.lo:
-                    self._submit(TaskKind.JOIN, (a, b))
+                    self._submit(TaskKind.JOIN, (a, b, self.povw))
                     outstanding += 1
                     del lifted[i : i + 2]
                 else:
@@ -228,14 +234,19 @@ class ProofJob:
                     outstanding += 1
             elif task.kind == TaskKind.PROVE_SEGMENT:
                 seg, _ = task.payload
-                self._submit(TaskKind.LIFT, (seg.index, result))
+                work = None
+                if self.povw:
+                    from ..zkvm.povw import Work
+                    nonce = self.env.povw_job_id.nonce(seg.index)
+                    work = Work(nonce, nonce, 1 << seg.po2)
+                self._submit(TaskKind.LIFT, (seg.index, result, work))
                 outstanding += 1
             elif task.kind == TaskKind.LIFT:
-                idx, _ = task.payload
+                idx, _, _work = task.payload
                 lifted.append(_LiftedRange(idx, idx, result))
                 try_join()
             elif task.kind == TaskKind.JOIN:
-                a, b = task.payload
+                a, b, _povw = task.payload
                 lifted.append(_LiftedRange(a.lo, b.hi, result))
                 try_join()
             elif task.kind == TaskKind.PROVE_KECCAK:
@@ -270,7 +281,18 @@ class ProofJob:
         for _assum, receipt in getattr(session, "assumptions_used", []):
             if receipt is None:
                 continue
-            self._submit(TaskKind.RESOLVE, (root, receipt))
+            self._submit(TaskKind.RESOLVE, (root, receipt, self.povw))
+            done = chan.get()
+            if done.error is not None:
+                raise done.error
+            root = done.result
+
+        # PoVW: expose the proven total work, then strip the WorkClaim
+        # wrapper so the final receipt carries the bare session claim
+        # (reference unwrap_povw / *_unwrap_povw variants)
+        if self.povw:
+            self.work = root.claim.work
+            self._submit(TaskKind.UNWRAP, root)
             done = chan.get()
             if done.error is not None:
                 raise done.error
@@ -297,10 +319,14 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
 
             return prover.prove_segment(resolve_segment(seg), claim)
         if task.kind == TaskKind.LIFT:
-            _, segment_receipt = task.payload
+            _, segment_receipt, work = task.payload
+            if work is not None:
+                return prover.lift_povw(segment_receipt, work=work)
             return prover.lift(segment_receipt)
         if task.kind == TaskKind.JOIN:
-            a, b = task.payload
+            a, b, povw = task.payload
+            if povw:
+                return prover.join_povw(a.receipt, b.receipt)
             return prover.join(a.receipt, b.receipt)
         if task.kind == TaskKind.UNION:
             a, b = task.payload
@@ -308,8 +334,12 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
         if task.kind == TaskKind.PROVE_KECCAK:
             return prover.prove_keccak(task.payload)
         if task.kind == TaskKind.RESOLVE:
-            conditional, assumption = task.payload
+            conditional, assumption, povw = task.payload
+            if povw:
+                return prover.resolve_povw(conditional, assumption)
             return prover.resolve(conditional, assumption)
+        if task.kind == TaskKind.UNWRAP:
+            return prover.unwrap_povw(task.payload)
         raise RuntimeError(f"accel worker got {task.kind}")
 
     workers = []
@@ -320,6 +350,6 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
         workers.append(Worker(
             factory, [TaskKind.PROVE_SEGMENT, TaskKind.PROVE_KECCAK,
                       TaskKind.LIFT, TaskKind.JOIN,
-                      TaskKind.UNION, TaskKind.RESOLVE],
+                      TaskKind.UNION, TaskKind.RESOLVE, TaskKind.UNWRAP],
             accel_processor, f"accel-{i}").start())
     return workers

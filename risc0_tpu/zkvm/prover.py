@@ -125,6 +125,31 @@ class DevModeProver(ProverServer):
             input=a.claim.input, output=b.claim.output)
         return FakeReceipt(joined)
 
+    def lift_povw(self, segment_receipt, work=None):
+        """Fake WorkClaim lift: the scheduler provides the Work record the
+        real predicate would derive in-circuit."""
+        from .povw import WorkClaim
+
+        self._sleep(self.delay.lift)
+        return FakeReceipt(WorkClaim(segment_receipt.claim, work))
+
+    def join_povw(self, a, b, unwrap=False):
+        self._sleep(self.delay.join)
+        joined = a.claim.join(b.claim)  # WorkClaim.join: chain + contiguity
+        return FakeReceipt(joined.claim if unwrap else joined)
+
+    def unwrap_povw(self, inner):
+        return FakeReceipt(inner.claim.claim)
+
+    def resolve_povw(self, conditional, assumption, unwrap=False):
+        from .povw import WorkClaim
+
+        wc = conditional.claim
+        inner = self.resolve(FakeReceipt(wc.claim), assumption)
+        if unwrap:
+            return inner
+        return FakeReceipt(WorkClaim(inner.claim, wc.work))
+
     def resolve(self, conditional, assumption):
         """Strip the resolved assumption from the conditional claim's output
         (mirrors reference resolve semantics on the claim level)."""
@@ -263,7 +288,9 @@ class ProverImpl(ProverServer):
         from . import recursion_driver
         return recursion_driver.join(a, b)
 
-    def lift_povw(self, segment_receipt):
+    def lift_povw(self, segment_receipt, work=None):
+        # `work` is accepted for interface parity with DevModeProver; the
+        # real predicate derives it in-circuit from the seal globals
         from . import recursion_driver
         return recursion_driver.lift_povw(segment_receipt)
 

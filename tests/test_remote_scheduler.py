@@ -28,10 +28,10 @@ def test_remote_workers_run_proof_dag():
             seg, claim = task.payload
             return prover.prove_segment(seg, claim)
         if task.kind == TaskKind.LIFT:
-            _, sr = task.payload
+            _, sr, _work = task.payload
             return prover.lift(sr)
         if task.kind == TaskKind.JOIN:
-            a, b = task.payload
+            a, b, _povw = task.payload
             return prover.join(a.receipt, b.receipt)
         raise RuntimeError(task.kind)
 

@@ -54,6 +54,42 @@ def test_multi_segment_join_tree(loop_elf):
     assert receipt.claim.exit_code.kind == "Halted"
 
 
+def test_povw_job_threads_work_through_dag(loop_elf):
+    """A job with a povw_job_id lifts into WorkClaims, joins with nonce
+    contiguity, and unwraps at the end: the final receipt carries the
+    bare session claim and job.work the summed value (reference
+    job/proof.rs povw variants)."""
+    from risc0_tpu.zkvm.claims import SystemState
+    from risc0_tpu.zkvm.povw import PovwJobId
+
+    factory = Factory()
+    prover = DevModeProver()
+    workers = make_local_pools(factory, prover, num_cpu=1, num_accel=2)
+    try:
+        count = 1024 * 494 + 818
+        env = ExecutorEnv(
+            segment_po2=16,
+            povw_job_id=PovwJobId(log=0xDEADBEEF, job=42),
+        ).write_slice(count.to_bytes(4, "little"))
+        job = ProofJob(factory, prover, env, loop_elf)
+        session, receipt = job.run()
+    finally:
+        for w in workers:
+            w.stop()
+
+    assert len(session.segments) > 2
+    # final receipt is unwrapped: bare session-spanning ReceiptClaim
+    assert np.array_equal(receipt.claim.pre.digest(),
+                          SystemState(0, session.pre_state).digest())
+    assert receipt.claim.exit_code.kind == "Halted"
+    # proven work: contiguous nonce range over all segments, summed cycles
+    assert job.work is not None
+    assert job.work.nonce_min == env.povw_job_id.nonce(0)
+    assert job.work.nonce_max == env.povw_job_id.nonce(
+        len(session.segments) - 1)
+    assert job.work.value == sum(1 << s.po2 for s in session.segments)
+
+
 def test_join_tree_with_simulated_latency(loop_elf):
     count = 1024 * 494 + 818
     delay = DevModeDelay(prove_segment_core=0.02, lift=0.01, join=0.01)
@@ -139,10 +175,11 @@ def test_resolve_chain_strips_assumptions(loop_elf):
         if task.kind == TaskKind.LIFT:
             return prover.lift(task.payload[1])
         if task.kind == TaskKind.JOIN:
-            a, b = task.payload
+            a, b, _povw = task.payload
             return prover.join(a.receipt, b.receipt)
         if task.kind == TaskKind.RESOLVE:
-            return prover.resolve(*task.payload)
+            cond, assum, _povw = task.payload
+            return prover.resolve(cond, assum)
         raise RuntimeError(task.kind)
 
     workers = [
