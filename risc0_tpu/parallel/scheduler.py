@@ -45,6 +45,11 @@ class Task:
     job_id: int
     payload: Any
     task_id: int = 0
+    # placement hint: host where the task's big input (segment file, seal)
+    # already lives.  Same-host workers are preferred so MB-scale payloads
+    # ride local disk/ICI instead of DCN (SURVEY §2.11); any worker may
+    # still steal the task rather than idle.
+    affinity: str | None = None
 
 
 @dataclass
@@ -52,35 +57,59 @@ class TaskDone:
     task: Task
     result: Any = None
     error: Exception | None = None
+    host: str | None = None  # worker host that produced the result
 
 
 class Factory:
-    """Task queue router by kind (reference actors/factory.rs:37-208)."""
+    """Task queue router by kind with locality-aware dispatch
+    (reference actors/factory.rs:37-208 + planner placement)."""
 
     def __init__(self):
-        self._queues: dict[TaskKind, queue.Queue] = {
-            k: queue.Queue() for k in TaskKind}
+        from collections import deque
+
+        self._tasks: dict[TaskKind, Any] = {k: deque() for k in TaskKind}
         self._done: dict[int, queue.Queue] = {}
-        self._lock = threading.Lock()
+        self._cv = threading.Condition()
 
     def submit(self, task: Task):
-        self._queues[task.kind].put(task)
+        with self._cv:
+            self._tasks[task.kind].append(task)
+            self._cv.notify_all()
 
-    def get_task(self, kinds: list[TaskKind], timeout=0.05) -> Task | None:
-        """Pull a task of any subscribed kind (reference GetTask)."""
+    def _take(self, kinds, host):
+        # pass 1: a task whose affinity matches this worker's host (or an
+        # affinity-free task); pass 2: steal anything runnable
+        if host is not None:
+            for k in kinds:
+                dq = self._tasks[k]
+                for i, t in enumerate(dq):
+                    if t.affinity is None or t.affinity == host:
+                        del dq[i]
+                        return t
         for k in kinds:
-            try:
-                return self._queues[k].get_nowait()
-            except queue.Empty:
-                continue
-        # block briefly on the first kind to avoid spinning
-        try:
-            return self._queues[kinds[0]].get(timeout=timeout)
-        except queue.Empty:
-            return None
+            if self._tasks[k]:
+                return self._tasks[k].popleft()
+        return None
+
+    def get_task(self, kinds: list[TaskKind], timeout=0.05,
+                 host: str | None = None) -> Task | None:
+        """Pull a task of any subscribed kind (reference GetTask), locally-
+        placed tasks first."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        with self._cv:
+            while True:
+                t = self._take(kinds, host)
+                if t is not None:
+                    return t
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    return None
+                self._cv.wait(remaining)
 
     def job_channel(self, job_id: int) -> queue.Queue:
-        with self._lock:
+        with self._cv:
             return self._done.setdefault(job_id, queue.Queue())
 
     def task_done(self, done: TaskDone):
@@ -92,11 +121,13 @@ class Worker:
     (reference actors/worker.rs:101-132)."""
 
     def __init__(self, factory: Factory, kinds: list[TaskKind],
-                 processor: Callable[[Task], Any], name="worker"):
+                 processor: Callable[[Task], Any], name="worker",
+                 host: str | None = None):
         self.factory = factory
         self.kinds = kinds
         self.processor = processor
         self.name = name
+        self.host = host  # placement domain for affinity dispatch
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name=name)
@@ -115,19 +146,21 @@ class Worker:
         from .. import log
 
         while not self._stop.is_set():
-            task = self.factory.get_task(self.kinds)
+            task = self.factory.get_task(self.kinds, host=self.host)
             if task is None:
                 continue
             t0 = time.perf_counter()
             try:
                 result = self.processor(task)
-                self.factory.task_done(TaskDone(task, result=result))
+                self.factory.task_done(TaskDone(task, result=result,
+                                                host=self.host))
                 log.event("task_done", worker=self.name,
                           kind=task.kind.value, job=task.job_id,
                           task=task.task_id,
                           seconds=round(time.perf_counter() - t0, 4))
             except Exception as e:  # propagate to the job
-                self.factory.task_done(TaskDone(task, error=e))
+                self.factory.task_done(TaskDone(task, error=e,
+                                                host=self.host))
                 log.event("task_failed", worker=self.name,
                           kind=task.kind.value, job=task.job_id,
                           task=task.task_id, error=str(e))
@@ -140,6 +173,7 @@ class _LiftedRange:
     lo: int
     hi: int  # inclusive
     receipt: Any
+    host: str | None = None  # where the receipt lives (join placement)
 
 
 class ProofJob:
@@ -170,10 +204,11 @@ class ProofJob:
         self.job_id = ProofJob._next_id[0]
         self._task_counter = 0
 
-    def _submit(self, kind: TaskKind, payload) -> None:
+    def _submit(self, kind: TaskKind, payload, affinity=None) -> None:
         self._task_counter += 1
         self.factory.submit(Task(kind, self.job_id, payload,
-                                 task_id=self._task_counter))
+                                 task_id=self._task_counter,
+                                 affinity=affinity))
 
     def run(self):
         """Run the DAG to completion; returns (session, final_receipt)."""
@@ -196,7 +231,9 @@ class ProofJob:
             while i + 1 < len(lifted):
                 a, b = lifted[i], lifted[i + 1]
                 if a.hi + 1 == b.lo:
-                    self._submit(TaskKind.JOIN, (a, b, self.povw))
+                    # place the join where the left child's receipt lives
+                    self._submit(TaskKind.JOIN, (a, b, self.povw),
+                                 affinity=a.host)
                     outstanding += 1
                     del lifted[i : i + 2]
                 else:
@@ -227,7 +264,9 @@ class ProofJob:
                     sc = segment_claim(seg, final, session_exit,
                                        claim.output if final else None)
                     segment_claims[seg.index] = sc
-                    self._submit(TaskKind.PROVE_SEGMENT, (seg, sc))
+                    # segments live on the executing host (FileSegmentRef)
+                    self._submit(TaskKind.PROVE_SEGMENT, (seg, sc),
+                                 affinity=done.host)
                     outstanding += 1
                 for req in getattr(session, "pending_keccaks", []):
                     self._submit(TaskKind.PROVE_KECCAK, req)
@@ -239,15 +278,16 @@ class ProofJob:
                     from ..zkvm.povw import Work
                     nonce = self.env.povw_job_id.nonce(seg.index)
                     work = Work(nonce, nonce, 1 << seg.po2)
-                self._submit(TaskKind.LIFT, (seg.index, result, work))
+                self._submit(TaskKind.LIFT, (seg.index, result, work),
+                             affinity=done.host)
                 outstanding += 1
             elif task.kind == TaskKind.LIFT:
                 idx, _, _work = task.payload
-                lifted.append(_LiftedRange(idx, idx, result))
+                lifted.append(_LiftedRange(idx, idx, result, done.host))
                 try_join()
             elif task.kind == TaskKind.JOIN:
                 a, b, _povw = task.payload
-                lifted.append(_LiftedRange(a.lo, b.hi, result))
+                lifted.append(_LiftedRange(a.lo, b.hi, result, done.host))
                 try_join()
             elif task.kind == TaskKind.PROVE_KECCAK:
                 # coprocessor receipts feed the union tree below
@@ -255,6 +295,7 @@ class ProofJob:
 
         assert len(lifted) == 1, f"join tree did not converge: {lifted}"
         root = lifted[0].receipt
+        root_host = lifted[0].host
 
         # union tree over coprocessor receipts: pair adjacent peaks per
         # round, log-depth (reference union_peak.rs MMR merge)
@@ -281,18 +322,20 @@ class ProofJob:
         for _assum, receipt in getattr(session, "assumptions_used", []):
             if receipt is None:
                 continue
-            self._submit(TaskKind.RESOLVE, (root, receipt, self.povw))
+            self._submit(TaskKind.RESOLVE, (root, receipt, self.povw),
+                         affinity=root_host)
             done = chan.get()
             if done.error is not None:
                 raise done.error
             root = done.result
+            root_host = done.host
 
         # PoVW: expose the proven total work, then strip the WorkClaim
         # wrapper so the final receipt carries the bare session claim
         # (reference unwrap_povw / *_unwrap_povw variants)
         if self.povw:
             self.work = root.claim.work
-            self._submit(TaskKind.UNWRAP, root)
+            self._submit(TaskKind.UNWRAP, root, affinity=root_host)
             done = chan.get()
             if done.error is not None:
                 raise done.error

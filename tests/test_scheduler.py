@@ -54,6 +54,30 @@ def test_multi_segment_join_tree(loop_elf):
     assert receipt.claim.exit_code.kind == "Halted"
 
 
+def test_factory_affinity_dispatch():
+    """Locality-aware GetTask: same-host tasks first, affinity-free tasks
+    next, stealing as the fallback (SURVEY §2.11 DCN placement)."""
+    from risc0_tpu.parallel.scheduler import Task
+
+    f = Factory()
+    f.submit(Task(TaskKind.LIFT, 1, "a", affinity="hostA"))
+    f.submit(Task(TaskKind.LIFT, 1, "b", affinity="hostB"))
+    f.submit(Task(TaskKind.LIFT, 1, "free"))
+
+    # hostB prefers its own task over earlier-queued hostA work
+    assert f.get_task([TaskKind.LIFT], host="hostB").payload == "b"
+    # a foreign host takes the unplaced task before stealing hostA's
+    assert f.get_task([TaskKind.LIFT], host="hostC").payload == "free"
+    # nothing local left: hostC steals rather than idling
+    assert f.get_task([TaskKind.LIFT], host="hostC").payload == "a"
+    assert f.get_task([TaskKind.LIFT], timeout=0.01, host="hostC") is None
+    # workers without a placement domain drain in FIFO order
+    f.submit(Task(TaskKind.JOIN, 1, "j1", affinity="hostA"))
+    f.submit(Task(TaskKind.JOIN, 1, "j2"))
+    assert f.get_task([TaskKind.JOIN]).payload == "j1"
+    assert f.get_task([TaskKind.JOIN]).payload == "j2"
+
+
 def test_povw_job_threads_work_through_dag(loop_elf):
     """A job with a povw_job_id lifts into WorkClaims, joins with nonce
     contiguity, and unwraps at the end: the final receipt carries the
