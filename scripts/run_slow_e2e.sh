@@ -17,7 +17,8 @@ python -m pytest "$@" -v \
   tests/test_predicates.py::test_union_prove_verify \
   tests/test_predicates.py::test_keccak_union_e2e \
   tests/test_predicates.py::test_identity_p254_wrap_chain \
-  tests/test_bigint.py::test_bigint2_guest_segment_proves_and_verifies
+  tests/test_bigint.py::test_bigint2_guest_segment_proves_and_verifies \
+  tests/test_prover_impl.py::test_default_prover_real_composite_e2e
 # Measured (CPU, 4 cores):
 #   rv32im segment prove+verify           ~20-25 min
 #   keccak circuit prove+verify           ~20 min
