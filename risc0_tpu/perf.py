@@ -68,6 +68,13 @@ def reset():
         _stats.clear()
 
 
+def toplevel_seconds() -> float:
+    """Sum of depth-0 scope time — compare against an externally timed
+    total to expose unscoped host time (the async-dispatch gap hunt)."""
+    return sum(secs for path, (_c, secs) in report().items()
+               if "." not in path)
+
+
 def summary(min_ms: float = 0.1) -> str:
     rows = sorted(report().items(), key=lambda kv: -kv[1][1])
     lines = []

@@ -70,15 +70,20 @@ def main():
     perf.reset()
 
     best = None
+    total_timed = 0.0
     for i in range(a.iters):
         t0 = time.perf_counter()
         seal = prove_segment(seg, rng=rng)
         dt = time.perf_counter() - t0
         print(f"iter {i}: {dt:.2f}s")
+        total_timed += dt
         best = dt if best is None or dt < best else best
 
     print("\nper-stage (all iters):")
     print(perf.summary(min_ms=5))
+    unscoped = total_timed - perf.toplevel_seconds()
+    print(f"{unscoped * 1e3:10.1f} ms          (unscoped host/dispatch"
+          f" gap across {a.iters} iters)")
 
     if not a.skip_verify:
         from risc0_tpu.circuit.rv32im.verify import verify_rv32im_seal
