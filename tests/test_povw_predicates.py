@@ -43,6 +43,77 @@ def test_work_join_host_semantics():
         w0.join(w0)  # overlapping
 
 
+def _carry_prog():
+    """Tiny program: read two Work records, enforce contiguity, sum the
+    values, output the joined Work digest (exercises _check_contiguous and
+    _sum_u64 without a STARK verify)."""
+    from risc0_tpu.circuit.recursion.asm import Asm
+    from risc0_tpu.circuit.recursion.predicates import (
+        RECURSION_PO2, _check_contiguous, _read_work, _sum_u64,
+        _work_digest)
+    from risc0_tpu.circuit.recursion.zkr_verify import Gen
+
+    a = Asm()
+    gen = Gen(a)
+    lw = _read_work(gen)
+    rw = _read_work(gen)
+    _check_contiguous(gen, lw["max"], rw["min"])
+    value = _sum_u64(gen, lw["value"], rw["value"])
+    joined = _work_digest(gen, lw["min"], rw["max"], value)
+    for c in joined:
+        a.output(c)
+    return a.program(RECURSION_PO2)
+
+
+def _work_tape(*works):
+    from risc0_tpu.zkvm.recursion_driver import _work_tape_words
+
+    tape = []
+    for w in works:
+        tape += _work_tape_words(w)
+    return tape
+
+
+@pytest.mark.parametrize("job,segs,values", [
+    (PovwJobId(log=7, job=9), (0, 1), (100, 200)),
+    # carry ripples through the full segment word (0xFFFFFFFF + 1)
+    (PovwJobId(log=2**159 + 5, job=2**63 + 1), (0xFFFFFFFE, 0xFFFFFFFF),
+     (0xFFFF, 0x1_0000)),
+    # value sum carries across u16 limbs
+    (PovwJobId(log=1, job=1), (3, 4), (0xFFFF_FFFF, 1)),
+])
+def test_carry_arithmetic_in_vm_matches_host(job, segs, values):
+    """The in-VM 16-limb contiguity check and u64 value sum agree with the
+    host Work.join on representative carry patterns."""
+    from risc0_tpu.circuit.recursion.preflight import RecursionPreflight
+
+    w0 = Work(job.nonce(segs[0]), job.nonce(segs[0]), values[0])
+    w1 = Work(job.nonce(segs[1]), job.nonce(segs[1]), values[1])
+    prog = _carry_prog()
+    pf = RecursionPreflight(_work_tape(w0, w1))
+    pf.run(prog.code)
+    want = w0.join(w1).digest()
+    assert pf.output == [int(w) & 0xFFFF for w in want]
+
+
+def test_carry_arithmetic_rejects_gap_and_overflow():
+    from risc0_tpu.circuit.recursion.preflight import RecursionPreflight
+
+    job = PovwJobId(log=3, job=4)
+    prog = _carry_prog()
+    # non-contiguous: segment 0 then 2
+    w0 = Work(job.nonce(0), job.nonce(0), 5)
+    w2 = Work(job.nonce(2), job.nonce(2), 5)
+    with pytest.raises((ValueError, IndexError)):
+        RecursionPreflight(_work_tape(w0, w2)).run(prog.code)
+    # nonce_max + 1 overflows 256 bits: final carry must be rejected
+    top = PovwNonce.from_u256((1 << 256) - 1)
+    wtop = Work(top, top, 5)
+    wzero = Work(PovwNonce.ZERO, PovwNonce.ZERO, 5)
+    with pytest.raises((ValueError, IndexError)):
+        RecursionPreflight(_work_tape(wtop, wzero)).run(prog.code)
+
+
 def test_lift_povw_preflight_matches_host_work_claim(povw_lift_prog):
     """Build lift_rv32im_povw(14) and run the recursion preflight over a
     real segment seal: every in-VM EQ must hold and the output must equal
