@@ -71,6 +71,11 @@ class ProverConfig:
 @dataclass
 class StorageConfig:
     path: str = ""
+    # listen address for the content-addressed asset server (reference's
+    # Asset channel / Bonsai upload+dedup store).  When set, the manager
+    # host serves segments/receipts by digest and jobs ship AssetRefs in
+    # task payloads instead of MB-scale bytes (parallel/assets.py).
+    assets: str | None = None
 
 
 @dataclass
@@ -131,11 +136,18 @@ class Cluster:
     prover pools, optional REST API (reference actors/mod.rs:185-240)."""
 
     def __init__(self, factory, workers, factory_server=None,
-                 api_server=None):
+                 api_server=None, asset_server=None):
         self.factory = factory
         self.workers = workers
         self.factory_server = factory_server
         self.api_server = api_server
+        self.asset_server = asset_server
+
+    @property
+    def asset_addr(self):
+        """Address jobs pass to ProofJob(asset_addr=...) to ship segments
+        by reference, or None when no asset server is configured."""
+        return self.asset_server.addr if self.asset_server else None
 
     def stop(self):
         for w in self.workers:
@@ -144,6 +156,8 @@ class Cluster:
             self.factory_server.close()
         if self.api_server is not None:
             self.api_server.shutdown()
+        if self.asset_server is not None:
+            self.asset_server.close()
 
 
 def launch_cluster(cfg: AppConfig, prover=None) -> Cluster:
@@ -219,6 +233,14 @@ def launch_cluster(cfg: AppConfig, prover=None) -> Cluster:
                 workers.append(Worker(factory, pc.subscribe, proc,
                                       name).start())
 
+    asset_server = None
+    if cfg.storage is not None and cfg.storage.assets:
+        from .assets import AssetServer, AssetStore
+
+        host, port = _addr(cfg.storage.assets)
+        asset_server = AssetServer(
+            AssetStore(cfg.storage.path or None), host, port)
+
     api_server = None
     if cfg.api is not None and cfg.api.listen:
         from ..zkvm.api_server import serve
@@ -231,4 +253,5 @@ def launch_cluster(cfg: AppConfig, prover=None) -> Cluster:
         threading.Thread(target=api_server.serve_forever,
                          daemon=True).start()
 
-    return Cluster(factory, workers, factory_server, api_server)
+    return Cluster(factory, workers, factory_server, api_server,
+                   asset_server)

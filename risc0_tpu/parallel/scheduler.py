@@ -183,12 +183,19 @@ class ProofJob:
     _next_id = [0]
 
     def __init__(self, factory: Factory, prover, env, elf: bytes,
-                 receipt_kind: str = "succinct", coproc_receipts=None):
+                 receipt_kind: str = "succinct", coproc_receipts=None,
+                 asset_addr=None):
         self.factory = factory
         self.prover = prover
         self.env = env
         self.elf = elf
         self.receipt_kind = receipt_kind
+        # when set, segments are uploaded once to the cluster's asset
+        # server and PROVE_SEGMENT payloads carry content-addressed refs;
+        # remote workers resolve through their local cache so the bytes
+        # cross DCN at most once per host (parallel/assets.py)
+        self.asset_addr = asset_addr
+        self._asset_client = None
         # PoVW mode: lift/join produce WorkClaim receipts threading the
         # per-segment nonces; the final receipt is unwrapped back to the
         # bare session claim (reference job/proof.rs povw task variants)
@@ -265,6 +272,13 @@ class ProofJob:
                                        claim.output if final else None)
                     segment_claims[seg.index] = sc
                     # segments live on the executing host (FileSegmentRef)
+                    # or, with an asset server, anywhere by digest
+                    if self.asset_addr is not None:
+                        from .assets import SegmentAssetRef
+                        from ..zkvm.exec import resolve_segment
+                        seg, self._asset_client = SegmentAssetRef.store(
+                            resolve_segment(seg), self.asset_addr,
+                            self._asset_client)
                     self._submit(TaskKind.PROVE_SEGMENT, (seg, sc),
                                  affinity=done.host)
                     outstanding += 1

@@ -134,3 +134,61 @@ subscribe = ["prove-segment", "lift", "join", "union", "resolve"]
             remote.stop()
     finally:
         cluster.stop()
+
+
+def test_cluster_ships_segments_by_asset_ref(monkeypatch, tmp_path):
+    """With [storage].assets set, ProofJob uploads each segment to the
+    cluster asset server and PROVE_SEGMENT payloads carry content-addressed
+    SegmentAssetRefs that remote workers resolve (and cache) by digest."""
+    monkeypatch.setenv("RISC0_DEV_MODE", "1")
+    cfg = load_config(f"""
+version = 1
+[manager]
+listen = "127.0.0.1:0"
+[executor]
+count = 1
+[storage]
+path = "{tmp_path}"
+assets = "127.0.0.1:0"
+""")
+    cluster = launch_cluster(cfg)
+    try:
+        assert cluster.asset_addr is not None
+        port = cluster.factory_server.addr[1]
+        remote = launch_cluster(load_config(f"""
+version = 1
+[[prover]]
+manager = "127.0.0.1:{port}"
+subscribe = ["prove-segment", "lift", "join", "union", "resolve"]
+"""))
+        try:
+            from risc0_tpu.parallel.assets import SegmentAssetRef
+            from risc0_tpu.zkvm.exec import ExecutorEnv
+            from risc0_tpu.zkvm.prover import DevModeProver
+
+            shipped = []
+            orig = SegmentAssetRef.resolve
+
+            def spying_resolve(self):
+                shipped.append(self)
+                return orig(self)
+
+            monkeypatch.setattr(SegmentAssetRef, "resolve", spying_resolve)
+
+            elf = open("guests/loop.bin", "rb").read()
+            env = ExecutorEnv(segment_po2=16).write_slice(
+                (1024 * 494 + 818).to_bytes(4, "little"))
+            job = ProofJob(cluster.factory, DevModeProver(), env, elf,
+                           asset_addr=cluster.asset_addr)
+            session, receipt = job.run()
+            assert receipt.claim.exit_code.kind == "Halted"
+            assert len(session.segments) > 1
+            # every segment travelled as a ref and was resolved remotely
+            assert len(shipped) == len(session.segments)
+            # ...and the blobs landed in the disk-backed store
+            assert len(list(tmp_path.iterdir())) == len(
+                {r.ref.digest for r in shipped})
+        finally:
+            remote.stop()
+    finally:
+        cluster.stop()
