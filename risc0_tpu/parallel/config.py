@@ -218,6 +218,8 @@ def launch_cluster(cfg: AppConfig, prover=None) -> Cluster:
                     return p.resolve(cond, assum)
                 if task.kind == TaskKind.UNWRAP:
                     return p.unwrap_povw(task.payload)
+                if task.kind == TaskKind.SHRINK_WRAP:
+                    return p.identity_p254(task.payload)
                 raise RuntimeError(f"prover worker got {task.kind}")
             return processor
 

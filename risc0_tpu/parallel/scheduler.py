@@ -225,9 +225,14 @@ class ProofJob:
         chan = self.factory.job_channel(self.job_id)
         self._submit(TaskKind.EXECUTE, (self.env, self.elf))
 
+        if self.receipt_kind == "composite" and self.povw:
+            raise ValueError("PoVW work claims require the lift/join "
+                             "(succinct) flow, not composite receipts")
+
         session = None
         outstanding = 1
         lifted: list[_LiftedRange] = []
+        segment_receipts = {}  # composite mode: index -> SegmentReceipt
         segment_claims = {}
 
         def try_join():
@@ -287,6 +292,10 @@ class ProofJob:
                     outstanding += 1
             elif task.kind == TaskKind.PROVE_SEGMENT:
                 seg, _ = task.payload
+                if self.receipt_kind == "composite":
+                    # no recursion layer: chain the segment receipts as-is
+                    segment_receipts[seg.index] = result
+                    continue
                 work = None
                 if self.povw:
                     from ..zkvm.povw import Work
@@ -306,6 +315,18 @@ class ProofJob:
             elif task.kind == TaskKind.PROVE_KECCAK:
                 # coprocessor receipts feed the union tree below
                 self.coproc_receipts.append(result)
+
+        if self.receipt_kind == "composite":
+            # reference prover_impl.rs composite flow: segment receipts in
+            # index order + inline assumption receipts, no recursion layer
+            from ..zkvm.receipt import CompositeReceipt
+            assert len(segment_receipts) == len(session.segments)
+            return session, CompositeReceipt(
+                segments=[segment_receipts[k]
+                          for k in sorted(segment_receipts)],
+                assumption_receipts=[
+                    r for _a, r in getattr(session, "assumptions_used", [])
+                    if hasattr(r, "verify_integrity")])
 
         assert len(lifted) == 1, f"join tree did not converge: {lifted}"
         root = lifted[0].receipt
@@ -354,6 +375,17 @@ class ProofJob:
             if done.error is not None:
                 raise done.error
             root = done.result
+
+        # groth16: shrink-wrap the succinct receipt for the SNARK stage —
+        # re-prove under the poseidon254 suite via the identity predicate
+        # (reference shrink_wrap / identity_p254; the BN254 Groth16 proof
+        # itself is produced by the external snark prover over this seal)
+        if self.receipt_kind == "groth16":
+            self._submit(TaskKind.SHRINK_WRAP, root, affinity=root_host)
+            done = chan.get()
+            if done.error is not None:
+                raise done.error
+            root = done.result
         return session, root
 
 
@@ -397,6 +429,8 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
             return prover.resolve(conditional, assumption)
         if task.kind == TaskKind.UNWRAP:
             return prover.unwrap_povw(task.payload)
+        if task.kind == TaskKind.SHRINK_WRAP:
+            return prover.identity_p254(task.payload)
         raise RuntimeError(f"accel worker got {task.kind}")
 
     workers = []
@@ -407,6 +441,7 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
         workers.append(Worker(
             factory, [TaskKind.PROVE_SEGMENT, TaskKind.PROVE_KECCAK,
                       TaskKind.LIFT, TaskKind.JOIN,
-                      TaskKind.UNION, TaskKind.RESOLVE, TaskKind.UNWRAP],
+                      TaskKind.UNION, TaskKind.RESOLVE, TaskKind.UNWRAP,
+                      TaskKind.SHRINK_WRAP],
             accel_processor, f"accel-{i}").start())
     return workers

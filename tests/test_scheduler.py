@@ -328,3 +328,64 @@ def test_transient_task_failures_retry(loop_elf):
     finally:
         for w in workers:
             w.stop()
+
+
+def test_composite_receipt_kind_skips_recursion(loop_elf):
+    """receipt_kind='composite' chains segment receipts directly
+    (reference prover_impl composite flow): no LIFT/JOIN tasks run and the
+    result is a CompositeReceipt whose claims chain pre->post."""
+    from risc0_tpu.zkvm.receipt import CompositeReceipt
+
+    factory = Factory()
+
+    class NoLiftProver(DevModeProver):
+        def lift(self, *a, **k):
+            raise AssertionError("lift must not run in composite mode")
+
+        join = lift_povw = lift
+
+    prover = NoLiftProver()
+    workers = make_local_pools(factory, prover, num_cpu=1, num_accel=2)
+    try:
+        env = ExecutorEnv(segment_po2=16).write_slice(
+            (1024 * 494 + 818).to_bytes(4, "little"))
+        job = ProofJob(factory, prover, env, loop_elf,
+                       receipt_kind="composite")
+        session, receipt = job.run()
+        assert isinstance(receipt, CompositeReceipt)
+        assert len(receipt.segments) == len(session.segments) > 2
+        for a, b in zip(receipt.segments, receipt.segments[1:]):
+            assert np.array_equal(a.claim.post.digest(),
+                                  b.claim.pre.digest())
+        assert receipt.claim().exit_code.kind == "Halted"
+    finally:
+        for w in workers:
+            w.stop()
+
+
+def test_groth16_receipt_kind_shrink_wraps(loop_elf):
+    """receipt_kind='groth16' appends a SHRINK_WRAP task: the converged
+    succinct root is re-proved via the identity_p254 predicate."""
+    factory = Factory()
+
+    class WrapSpy(DevModeProver):
+        wrapped = []
+
+        def identity_p254(self, receipt):
+            self.wrapped.append(receipt)
+            return ("p254", receipt)
+
+    prover = WrapSpy()
+    workers = make_local_pools(factory, prover, num_cpu=1, num_accel=2)
+    try:
+        env = ExecutorEnv(segment_po2=16).write_slice(
+            (100_000).to_bytes(4, "little"))
+        job = ProofJob(factory, prover, env, loop_elf,
+                       receipt_kind="groth16")
+        _session, receipt = job.run()
+        assert receipt[0] == "p254"
+        assert len(WrapSpy.wrapped) == 1
+        assert receipt[1].claim.exit_code.kind == "Halted"
+    finally:
+        for w in workers:
+            w.stop()
