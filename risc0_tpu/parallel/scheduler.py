@@ -26,6 +26,17 @@ from dataclasses import dataclass, field
 from enum import Enum
 from typing import Any, Callable
 
+import numpy as np
+
+
+def _claim_digest(receipt) -> np.ndarray:
+    """Claim digest of a receipt whose claim is a claims object (works for
+    both real SuccinctReceipts and dev-mode FakeReceipts)."""
+    c = receipt.claim
+    c = c() if callable(c) else c
+    return np.asarray(c if isinstance(c, np.ndarray) else c.digest(),
+                      np.uint32)
+
 
 class TaskKind(Enum):
     EXECUTE = "execute"
@@ -353,10 +364,18 @@ class ProofJob:
 
         # resolve chain: strip each recorded assumption head-first
         # (reference job/proof.rs:363-399 resolve phase; sequential because
-        # each resolve consumes the previous conditional receipt)
-        for _assum, receipt in getattr(session, "assumptions_used", []):
+        # each resolve consumes the previous conditional receipt).  An
+        # unresolved (receipt-less) assumption is the keccak batcher's
+        # union-MMR root: resolve it with the union receipt proved above
+        # (reference prover_impl.rs:121-139).
+        for assum, receipt in getattr(session, "assumptions_used", []):
             if receipt is None:
-                continue
+                if self.union_receipt is not None and np.array_equal(
+                        np.asarray(assum.claim, np.uint32),
+                        _claim_digest(self.union_receipt)):
+                    receipt = self.union_receipt
+                else:
+                    continue
             self._submit(TaskKind.RESOLVE, (root, receipt, self.povw),
                          affinity=root_host)
             done = chan.get()

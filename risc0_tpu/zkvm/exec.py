@@ -38,6 +38,7 @@ SYS_WRITE = _NR + "SYS_WRITE"
 SYS_PIPE = _NR + "SYS_PIPE"
 SYS_KECCAK = _NR + "SYS_KECCAK"
 SYS_VERIFY_INTEGRITY = _NR + "SYS_VERIFY_INTEGRITY"
+SYS_VERIFY_INTEGRITY2 = _NR + "SYS_VERIFY_INTEGRITY2"
 SYS_FORK = _NR + "SYS_FORK"
 SYS_EXIT = _NR + "SYS_EXIT"
 
@@ -326,6 +327,23 @@ class _SyscallState:
                 np.frombuffer(root, np.uint32).copy())
             self.assumptions_used.insert(
                 0, (assumption, self.env.assumptions[key]))
+            return (0, 0)
+        if name == SYS_VERIFY_INTEGRITY2:
+            # Unresolved assumption (reference syscall/verify2.rs): the
+            # guest assumes (claim, control_root) WITHOUT a host receipt —
+            # the prover must later resolve it (e.g. the keccak batcher
+            # assumes the union-MMR root that the coprocessor receipts
+            # prove; prover_impl.rs:122-153).
+            ptr = self.user_reg(machine, REG_A3)
+            ln = self.user_reg(machine, REG_A4)
+            data = self.peek_region(machine, ptr, ln)
+            claim, root = bytes(data[:32]), bytes(data[32:64])
+            from .claims import Assumption
+
+            assumption = Assumption(
+                np.frombuffer(claim, np.uint32).copy(),
+                np.frombuffer(root, np.uint32).copy())
+            self.assumptions_used.insert(0, (assumption, None))
             return (0, 0)
         if name == SYS_FORK:
             return self._sys_fork(machine)

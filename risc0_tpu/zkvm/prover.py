@@ -219,9 +219,7 @@ class ProverImpl(ProverServer):
             seal = rv_prove_segment(resolve_segment(seg))
             receipts.append(SegmentReceipt(
                 seal=seal, index=i, hashfn=self.opts.hashfn, claim=sc))
-        assumption_receipts = [
-            r for _a, r in session.assumptions_used
-            if hasattr(r, "verify_integrity")]
+        assumption_receipts = self._assumption_receipts(session)
         composite = CompositeReceipt(
             segments=receipts, assumption_receipts=assumption_receipts)
         work = _session_work(session)
@@ -247,6 +245,33 @@ class ProverImpl(ProverServer):
         ctx = self._verifier_ctx()
         receipt.verify_integrity(ctx)
         return ProveInfo(receipt=receipt, session=session, work=work)
+
+    def _assumption_receipts(self, session) -> list:
+        """One receipt per assumptions_used entry, in head-first order
+        (reference prover_impl.rs:121-153): Proven entries keep their
+        receipt; Unresolved entries (sys_verify_integrity2, receipt=None)
+        are resolved by the keccak union-root receipt when their claim
+        matches, else rejected."""
+        import numpy as np
+
+        from . import recursion_driver
+
+        union_root = recursion_driver.keccak_union_root(
+            getattr(session, "pending_keccaks", []))
+        out = []
+        for a, r in session.assumptions_used:
+            if r is None:
+                root_claim = None if union_root is None else \
+                    recursion_driver.receipt_claim_digest(union_root)
+                if root_claim is None or not np.array_equal(
+                        np.asarray(a.claim, np.uint32), root_claim):
+                    raise ValueError(
+                        "no receipt available for unresolved assumption: "
+                        f"claim {bytes(np.asarray(a.claim, np.uint32)).hex()}")
+                r = union_root
+            if hasattr(r, "verify_integrity"):
+                out.append(r)
+        return out
 
     def _verifier_ctx(self) -> VerifierContext:
         from ..circuit.recursion.predicates import own_control_ids

@@ -441,25 +441,60 @@ def resolve_povw(conditional: SuccinctReceipt, assumption: SuccinctReceipt,
 
 
 def compress_composite_povw(composite) -> SuccinctReceipt:
-    """PoVW compress: lift_povw every segment, join_povw the chain, and
-    unwrap the final WorkClaim on the last merge (prover_impl povw flow).
+    """PoVW compress: lift_povw every segment, join_povw the chain,
+    resolve any assumption receipts, and unwrap the final WorkClaim on the
+    last merge (prover_impl povw flow + composite_to_succinct_povw).
     Returns (succinct receipt over the bare session claim, total Work)."""
     lifted = [lift_povw(sr) for sr in composite.segments]
-    if len(lifted) == 1:
+    assumptions = list(composite.assumption_receipts)
+    if len(lifted) == 1 and not assumptions:
         total = lifted[0].claim.work
         return unwrap_povw(lifted[0]), total
     acc = lifted[0]
-    for nxt in lifted[1:-1]:
+    for nxt in lifted[1:-1] if not assumptions else lifted[1:]:
         acc = join_povw(acc, nxt)
-    total = acc.claim.work.join(lifted[-1].claim.work)
-    return join_povw(acc, lifted[-1], unwrap=True), total
+    if not assumptions:
+        total = acc.claim.work.join(lifted[-1].claim.work)
+        return join_povw(acc, lifted[-1], unwrap=True), total
+    total = acc.claim.work
+    for i, ar in enumerate(assumptions):
+        acc = resolve_povw(acc, _as_succinct(ar),
+                           unwrap=i == len(assumptions) - 1)
+    return acc, total
+
+
+def _as_succinct(receipt):
+    """Top-level Receipt -> its inner succinct receipt (reference
+    InnerAssumptionReceipt conversion, receipt.rs succinct())."""
+    if hasattr(receipt, "inner"):
+        if receipt.inner.kind != "succinct":
+            raise VerificationError(
+                f"cannot resolve with a {receipt.inner.kind} assumption "
+                "receipt; compress it to succinct first")
+        return receipt.inner.value
+    return receipt
 
 
 def compress_composite(composite) -> SuccinctReceipt:
-    """Lift every segment receipt and left-fold joins (reference
-    prover_impl.rs:183-213 compress)."""
+    """Lift every segment receipt, left-fold joins, then resolve-fold the
+    assumption receipts head-first (reference prove/mod.rs:337-391
+    composite_to_succinct)."""
     lifted = [lift(sr) for sr in composite.segments]
     acc = lifted[0]
     for nxt in lifted[1:]:
         acc = join(acc, nxt)
+    for ar in composite.assumption_receipts:
+        acc = resolve(acc, _as_succinct(ar))
     return acc
+
+
+def keccak_union_root(pending_keccaks) -> SuccinctReceipt | None:
+    """Prove every pending keccak request and union-merge the receipts
+    into the MMR root receipt that resolves the guest's keccak root
+    assumption (reference prover_impl.rs:121-139)."""
+    if not pending_keccaks:
+        return None
+    mmr = MerkleMountainAccumulator()
+    for req in pending_keccaks:
+        mmr.insert(prove_keccak_request(req))
+    return mmr.root()

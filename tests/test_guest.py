@@ -244,3 +244,29 @@ def test_sys_keccak_permute_in_guest():
 
     sess = ExecutorImpl(ExecutorEnv(segment_po2=16), a.link()).run()
     assert sess.exit_code == ("Halted", 0)
+
+
+def test_sys_verify_integrity2_records_unresolved_assumption():
+    """sys_verify_integrity2 records an Unresolved assumption (receipt
+    None) without requiring a host receipt (reference syscall/verify2.rs),
+    and the session claim output lists it."""
+    from risc0_tpu.zkvm.receipt import session_claim
+
+    claim = np.arange(8, dtype=np.uint32) + 100
+    root = np.arange(8, dtype=np.uint32) + 200
+
+    a = Asm()
+    tok = _tok(a, "SYS_VERIFY_INTEGRITY2")
+    buf = a.put_data(claim.tobytes() + root.tobytes())
+    a.syscall("SYS_VERIFY_INTEGRITY2", tok, 0, 0, args=[buf, 64])
+    a.halt(0)
+
+    sess = ExecutorImpl(ExecutorEnv(segment_po2=16), a.link()).run()
+    assert sess.exit_code == ("Halted", 0)
+    assert len(sess.assumptions_used) == 1
+    recorded, receipt = sess.assumptions_used[0]
+    assert receipt is None
+    assert np.array_equal(recorded.claim, claim)
+    assert np.array_equal(recorded.control_root, root)
+    out = session_claim(sess).output.value
+    assert len(out.assumptions.value.items) == 1

@@ -127,3 +127,52 @@ def test_default_prover_real_composite_e2e(monkeypatch):
         env, elf, ProverOpts(receipt_kind="composite", dev_mode=False))
     image_id = ExecutorImpl(env, elf).compute_image_id()
     info.receipt.verify(image_id, VerifierContext(dev_mode=False))
+
+
+def test_assumption_receipts_resolves_unresolved_with_union_root(
+        monkeypatch):
+    """_assumption_receipts (reference prover_impl.rs:121-153): Proven
+    entries pass through; an Unresolved entry whose claim matches the
+    keccak union root gets the union receipt; a mismatch is an error."""
+    from risc0_tpu.zkvm import recursion_driver
+    from risc0_tpu.zkvm.claims import Assumption
+
+    root_claim = np.arange(8, dtype=np.uint32) + 9
+
+    class _UnionRoot:
+        def verify_integrity(self, ctx):
+            pass
+
+    union_root = _UnionRoot()
+    proved = []
+    monkeypatch.setattr(recursion_driver, "keccak_union_root",
+                        lambda reqs: (proved.extend(reqs), union_root)[1]
+                        if reqs else None)
+    monkeypatch.setattr(recursion_driver, "receipt_claim_digest",
+                        lambda r: root_claim)
+
+    class _Proven:
+        def verify_integrity(self, ctx):
+            pass
+
+    class _Sess:
+        pending_keccaks = [{"claim_digest": bytes(root_claim)}]
+        assumptions_used = [
+            (Assumption(root_claim, np.zeros(8, np.uint32)), None),
+            (Assumption(np.ones(8, np.uint32), np.zeros(8, np.uint32)),
+             _Proven()),
+        ]
+
+    out = ProverImpl()._assumption_receipts(_Sess())
+    assert out[0] is union_root
+    assert isinstance(out[1], _Proven)
+    assert len(proved) == 1
+
+    # unresolved claim that the union root does NOT cover -> error
+    class _Bad(_Sess):
+        assumptions_used = [
+            (Assumption(np.zeros(8, np.uint32), np.zeros(8, np.uint32)),
+             None)]
+
+    with pytest.raises(ValueError, match="unresolved assumption"):
+        ProverImpl()._assumption_receipts(_Bad())

@@ -389,3 +389,48 @@ def test_groth16_receipt_kind_shrink_wraps(loop_elf):
     finally:
         for w in workers:
             w.stop()
+
+
+def test_keccak_guest_assumption_resolved_by_union_receipt():
+    """Full keccak-coprocessor DAG (reference batcher flow): the guest
+    permutes a keccak state, flushes the batch with KECCAK_PROVE, and
+    assumes the batch claim via sys_verify_integrity2; the job proves the
+    coprocessor request, unions it, and resolves the assumption with the
+    union receipt — the final receipt's output has no assumptions left."""
+    from risc0_tpu.zkvm.guest import Asm
+
+    NR = "risc0_zkvm_platform::syscall::nr::"
+    state0 = b"".join(int(i * 7 + 1).to_bytes(8, "little")
+                      for i in range(25))
+    claim = (np.arange(8, dtype=np.uint32) * 3 + 5)
+    root = np.arange(8, dtype=np.uint32) + 400
+
+    a = Asm()
+    ktok = a.put_data((NR + "SYS_KECCAK").encode() + b"\0")
+    vtok = a.put_data((NR + "SYS_VERIFY_INTEGRITY2").encode() + b"\0")
+    state = a.put_data(state0, align=8)
+    cr = a.put_data(claim.tobytes())   # claim ++ root contiguous (64 B)
+    rootptr = a.put_data(root.tobytes())
+    a.syscall("SYS_KECCAK", ktok, state, 50, args=[0, state, state])
+    a.syscall("SYS_KECCAK", ktok, 0, 0, args=[1, cr, rootptr])
+    a.syscall("SYS_VERIFY_INTEGRITY2", vtok, 0, 0, args=[cr, 64])
+    a.halt(0)
+    elf = a.link()
+
+    factory = Factory()
+    prover = DevModeProver()
+    workers = make_local_pools(factory, prover, num_cpu=1, num_accel=2)
+    try:
+        job = ProofJob(factory, prover, ExecutorEnv(segment_po2=16), elf)
+        session, receipt = job.run()
+        assert len(session.pending_keccaks) == 1
+        assert session.assumptions_used[0][1] is None  # unresolved
+        # single batch -> the union receipt IS the coprocessor receipt
+        assert np.array_equal(
+            np.asarray(job.union_receipt.claim.digest(), np.uint32), claim)
+        out = receipt.claim.output.value
+        assert out.assumptions.value.items == []  # resolved away
+        assert receipt.claim.exit_code.kind == "Halted"
+    finally:
+        for w in workers:
+            w.stop()
