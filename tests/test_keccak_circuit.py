@@ -99,3 +99,18 @@ def test_prove_verify_keccak():
     seal = prove_keccak(_inputs(2), 14)
     out = verify_keccak_seal(seal)
     assert len(out) == 17
+
+
+def test_compute_keccak_digest_matches_witgen_globals():
+    """Host-side compute_keccak_digest (reference keccak/src/lib.rs:49-92)
+    predicts exactly the claim digest the circuit witgen commits in its
+    globals — this is the claim the guest-side batcher assumes per
+    KECCAK_PROVE flush."""
+    from risc0_tpu.circuit.keccak import compute_keccak_digest
+    from risc0_tpu.circuit.keccak.verify import keccak_digest_from_globals
+    from risc0_tpu.circuit.keccak.witgen import witgen_keccak
+
+    inputs = _inputs(2, seed=11)
+    res = witgen_keccak(inputs, 14)
+    assert np.array_equal(compute_keccak_digest(inputs),
+                          keccak_digest_from_globals(res["global"]))

@@ -176,3 +176,59 @@ def test_assumption_receipts_resolves_unresolved_with_union_root(
 
     with pytest.raises(ValueError, match="unresolved assumption"):
         ProverImpl()._assumption_receipts(_Bad())
+
+
+@pytest.mark.skipif(not os.environ.get("RISC0_TPU_SLOW_TESTS"),
+                    reason="rv32im + keccak + 3 recursion proves (hours "
+                           "on CPU, minutes on TPU)")
+def test_prove_session_keccak_assumption_crypto_e2e(monkeypatch):
+    """Full keccak-coprocessor crypto chain (reference prover_impl.rs
+    keccak flow): a guest permutes one keccak state, flushes the batch
+    with KECCAK_PROVE, and assumes the batch claim via
+    sys_verify_integrity2; prove_session proves the rv32im segment, lifts
+    it, proves the keccak circuit, lifts it with the released keccak_lift
+    zkr, and resolves the assumption — the final succinct receipt passes
+    Receipt.verify(image_id)."""
+    monkeypatch.delenv("RISC0_DEV_MODE", raising=False)
+    from risc0_tpu.circuit.keccak import compute_keccak_digest
+    from risc0_tpu.zkvm.claims import (Assumption, Assumptions, MaybePruned,
+                                       Output)
+    from risc0_tpu.zkvm.guest import Asm
+
+    NR = "risc0_zkvm_platform::syscall::nr::"
+    state0 = [int(i * 0xDEADBEEF + 3) % (1 << 64) for i in range(25)]
+    claim = compute_keccak_digest([state0])
+    root = np.zeros(8, np.uint32)  # zero = same verifier context
+    journal = b"keccak-e2e"
+    out = Output.of(journal, Assumptions(
+        [MaybePruned.of(Assumption(claim, root))]))
+    odig = np.asarray(out.digest(), np.uint32).tobytes()
+
+    a = Asm()
+    ktok = a.put_data((NR + "SYS_KECCAK").encode() + b"\0")
+    vtok = a.put_data((NR + "SYS_VERIFY_INTEGRITY2").encode() + b"\0")
+    wtok = a.put_data((NR + "SYS_WRITE").encode() + b"\0")
+    state = a.put_data(b"".join(int(x).to_bytes(8, "little")
+                                for x in state0), align=8)
+    cr = a.put_data(claim.tobytes())
+    rootptr = a.put_data(root.tobytes())
+    jdata = a.put_data(journal)
+    odig_tok = a.put_data(odig)
+    a.syscall("SYS_KECCAK", ktok, state, 50, args=[0, state, state])
+    a.syscall("SYS_KECCAK", ktok, 0, 0, args=[1, cr, rootptr])
+    a.syscall("SYS_VERIFY_INTEGRITY2", vtok, 0, 0, args=[cr, 64])
+    a.syscall("SYS_WRITE", wtok, 0, 0, args=[3, jdata, len(journal)])
+    a.halt(0, out_digest_token=odig_tok)
+    elf = a.link()
+
+    env = ExecutorEnv(segment_po2=15, keccak_max_po2=14)
+    session = ExecutorImpl(env, elf).run()
+    assert session.exit_code == ("Halted", 0)
+    assert len(session.pending_keccaks) == 1
+    assert session.assumptions_used[0][1] is None
+
+    from risc0_tpu.zkvm.prover import ProverImpl
+    info = ProverImpl(ProverOpts(receipt_kind="succinct",
+                                 dev_mode=False)).prove_session(session)
+    image_id = ExecutorImpl(env, elf).compute_image_id()
+    info.receipt.verify(image_id, VerifierContext(dev_mode=False))
