@@ -167,14 +167,25 @@ void r0_machine_peek_region(void* machine, uint32_t byte_addr, uint32_t len,
   }
 }
 
+// Build the boot image: user+kernel pair, or kernel-only when user_len
+// is 0 (reference from_kernel_elf / image.rs new_kernel — bare-metal
+// programs like the riscv-tests ISA binaries have no userspace).
+static MemoryImage make_image(const uint8_t* user_elf, uint64_t user_len,
+                              const uint8_t* kernel_elf,
+                              uint64_t kernel_len) {
+  Program kernel = Program::load_elf(kernel_elf, kernel_len, 0xffff'ffff);
+  if (user_len == 0) return MemoryImage::new_kernel(kernel);
+  Program user = Program::load_elf(user_elf, user_len, USER_END);
+  return MemoryImage::with_kernel(user, kernel);
+}
+
 // Compute the image id of a user+kernel ELF pair; returns 0 on success.
 int r0_compute_image_id(const uint8_t* user_elf, uint64_t user_len,
                         const uint8_t* kernel_elf, uint64_t kernel_len,
                         uint32_t out_digest[8]) {
   try {
-    Program user = Program::load_elf(user_elf, user_len, USER_END);
-    Program kernel = Program::load_elf(kernel_elf, kernel_len, 0xffff'ffff);
-    MemoryImage image = MemoryImage::with_kernel(user, kernel);
+    MemoryImage image = make_image(user_elf, user_len,
+                                   kernel_elf, kernel_len);
     Digest id = image.image_id();
     std::memcpy(out_digest, id.data(), 32);
     return 0;
@@ -193,9 +204,8 @@ int r0_execute_elf(const uint8_t* user_elf, uint64_t user_len,
                    void* seg_user, r0_segment_fn on_segment,
                    R0Result* result) {
   try {
-    Program user = Program::load_elf(user_elf, user_len, USER_END);
-    Program kernel = Program::load_elf(kernel_elf, kernel_len, 0xffff'ffff);
-    MemoryImage image = MemoryImage::with_kernel(user, kernel);
+    MemoryImage image = make_image(user_elf, user_len,
+                                   kernel_elf, kernel_len);
 
     CallbackIO io;
     io.user = io_user;
@@ -516,10 +526,8 @@ void r0_machine_fork_free(void* machine, void* io) {
 void* r0_session_create(const uint8_t* user_elf, uint64_t user_len,
                         const uint8_t* kernel_elf, uint64_t kernel_len) {
   try {
-    Program user = Program::load_elf(user_elf, user_len, USER_END);
-    Program kernel = Program::load_elf(kernel_elf, kernel_len, 0xffff'ffff);
     auto* ss = new SessionState{};
-    ss->rolling = MemoryImage::with_kernel(user, kernel);
+    ss->rolling = make_image(user_elf, user_len, kernel_elf, kernel_len);
     return ss;
   } catch (const std::exception& e) {
     g_error = e.what();
@@ -590,10 +598,8 @@ void* r0_debug_create(const uint8_t* user_elf, uint64_t user_len,
                       void* io_user, r0_host_read_fn on_read,
                       r0_host_write_fn on_write) {
   try {
-    Program user = Program::load_elf(user_elf, user_len, USER_END);
-    Program kernel = Program::load_elf(kernel_elf, kernel_len, 0xffff'ffff);
     auto* ds = new DebugState();
-    ds->image = MemoryImage::with_kernel(user, kernel);
+    ds->image = make_image(user_elf, user_len, kernel_elf, kernel_len);
     ds->io.user = io_user;
     ds->io.on_read = on_read;
     ds->io.on_write = on_write;

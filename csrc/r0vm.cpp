@@ -305,6 +305,14 @@ MemoryImage MemoryImage::with_kernel(Program user, Program kernel) {
   return image_from_words(kernel.image);
 }
 
+MemoryImage MemoryImage::new_kernel(Program kernel) {
+  // reference image.rs:169-174: kernel-only image (no userspace) — used
+  // for bare-metal programs like the official riscv-tests ISA binaries
+  kernel.image[SUSPEND_PC] = kernel.entry;
+  kernel.image[SUSPEND_MODE] = 1;
+  return image_from_words(kernel.image);
+}
+
 // ---------------------------------------------------------------------------
 // Paged memory (reference execute/pager.rs)
 // ---------------------------------------------------------------------------

@@ -133,6 +133,7 @@ struct MemoryImage {
 
   MemoryImage();
   static MemoryImage with_kernel(class Program user, class Program kernel);
+  static MemoryImage new_kernel(class Program kernel);
 
   std::shared_ptr<Page> get_page(uint32_t page_idx);
   void set_page(uint32_t page_idx, std::shared_ptr<Page> page);

@@ -652,6 +652,13 @@ class ExecutorImpl:
         pb = ProgramBinary.decode(blob)
         return ExecutorImpl(env, pb.user_elf, pb.kernel_elf)
 
+    @staticmethod
+    def from_kernel_elf(env: ExecutorEnv, elf: bytes) -> "ExecutorImpl":
+        """Bare-metal (kernel-only) program, no userspace — e.g. the
+        official riscv-tests ISA binaries (reference executor.rs:119-123
+        from_kernel_elf / image.rs new_kernel)."""
+        return ExecutorImpl(env, b"", kernel_elf=elf)
+
     def compute_image_id(self) -> np.ndarray:
         """User-facing image ID = SystemState{pc: 0, merkle_root}.digest()
         (reference binfmt/src/elf.rs:403-406), i.e. the digest of the claim
