@@ -66,6 +66,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     dev = str(jax.devices()[0])
 
+    from risc0_tpu import perf
     from risc0_tpu.circuit.rv32im.prove import prove_segment
     from risc0_tpu.circuit.rv32im.verify import verify_rv32im_seal
     from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
@@ -118,6 +119,7 @@ def main():
             "seal_words": len(seal),
             "cpu_baseline_cycles_per_s": (cpu or {}).get("cycles_per_s"),
             "device": dev,
+            "device_memory": perf.device_memory(),
         },
     }))
 

@@ -45,6 +45,12 @@ def main(argv=None):
         p.add_argument("--input-hex", default="")
         p.add_argument("--input", default="")
         p.add_argument("--po2", type=int, default=20)
+        p.add_argument("--kernel", action="store_true",
+                       help="bare-metal kernel-only ELF, no userspace "
+                            "(reference from_kernel_elf)")
+        if name == "prove":
+            p.add_argument("--receipt-kind", default=None,
+                           choices=["composite", "succinct", "groth16"])
     p = sub.add_parser("verify")
     p.add_argument("--seal", required=True)
     p = sub.add_parser("serve", help="launch a cluster from a TOML config "
@@ -94,6 +100,8 @@ def main(argv=None):
     if data[:4] == b"R0BF":
         pb = ProgramBinary.decode(data)
         ex = ExecutorImpl(env, pb.user_elf, pb.kernel_elf)
+    elif args.kernel:
+        ex = ExecutorImpl.from_kernel_elf(env, data)
     else:
         ex = ExecutorImpl(env, data)
 
@@ -113,9 +121,11 @@ def main(argv=None):
         return 0
 
     if args.cmd == "prove":
-        from .zkvm.prover import get_prover_server
+        from .zkvm.prover import ProverOpts, get_prover_server
 
-        prover = get_prover_server()
+        opts = ProverOpts(receipt_kind=args.receipt_kind) \
+            if args.receipt_kind else None
+        prover = get_prover_server(opts)
         session = ex.run()
         info = prover.prove_session(session)
         claim = info.receipt.claim()

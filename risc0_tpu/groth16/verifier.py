@@ -178,6 +178,19 @@ def vk_digest(vk: VerifyingKey) -> np.ndarray:
          hash_g2(vk.delta_g2), ic], [])
 
 
+def proof_json_to_seal(proof) -> bytes:
+    """snarkjs ProofJson -> 256-byte seal (reference types.rs
+    Seal::from_json).  Layout mirrors Verifier.from_seal: a.x a.y |
+    b.x.c1 b.x.c0 b.y.c1 b.y.c0 | c.x c.y, each 32-byte big-endian;
+    pi_b rows are [c0, c1]."""
+    a, b, c = proof["pi_a"], proof["pi_b"], proof["pi_c"]
+    w = [int(a[0]), int(a[1]),
+         int(b[0][1]), int(b[0][0]),
+         int(b[1][1]), int(b[1][0]),
+         int(c[0]), int(c[1])]
+    return b"".join(x.to_bytes(32, "big") for x in w)
+
+
 def split_digest(digest) -> tuple[int, int]:
     """Digest -> (lower-half Fr, upper-half Fr) (verifier.rs:302-310):
     byte-reverse to big-endian, split in the middle, each half as BE."""

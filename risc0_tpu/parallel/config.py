@@ -219,7 +219,9 @@ def launch_cluster(cfg: AppConfig, prover=None) -> Cluster:
                 if task.kind == TaskKind.UNWRAP:
                     return p.unwrap_povw(task.payload)
                 if task.kind == TaskKind.SHRINK_WRAP:
-                    return p.identity_p254(task.payload)
+                    return p.shrink_wrap(task.payload)
+                if task.kind == TaskKind.PROVE_KECCAK:
+                    return p.prove_keccak(task.payload)
                 raise RuntimeError(f"prover worker got {task.kind}")
             return processor
 

@@ -195,7 +195,7 @@ class ProofJob:
 
     def __init__(self, factory: Factory, prover, env, elf: bytes,
                  receipt_kind: str = "succinct", coproc_receipts=None,
-                 asset_addr=None):
+                 asset_addr=None, stream_keccak: bool = False):
         self.factory = factory
         self.prover = prover
         self.env = env
@@ -207,6 +207,14 @@ class ProofJob:
         # cross DCN at most once per host (parallel/assets.py)
         self.asset_addr = asset_addr
         self._asset_client = None
+        # streaming keccak coprocessor (reference CoprocessorCallback +
+        # r0vm actor keccak flow): PROVE_KECCAK tasks are submitted the
+        # moment the guest flushes a batch, overlapping coprocessor
+        # proving with the remainder of execution.  Local pools only —
+        # the callback rides the env object, which then can't pickle.
+        self.stream_keccak = stream_keccak
+        self._outst_lock = threading.Lock()
+        self._streamed = 0
         # PoVW mode: lift/join produce WorkClaim receipts threading the
         # per-segment nonces; the final receipt is unwrapped back to the
         # bare session claim (reference job/proof.rs povw task variants)
@@ -223,22 +231,38 @@ class ProofJob:
         self._task_counter = 0
 
     def _submit(self, kind: TaskKind, payload, affinity=None) -> None:
-        self._task_counter += 1
+        with self._outst_lock:  # streamed submissions come from the
+            self._task_counter += 1    # executing worker's thread
+            task_id = self._task_counter
         self.factory.submit(Task(kind, self.job_id, payload,
-                                 task_id=self._task_counter,
-                                 affinity=affinity))
+                                 task_id=task_id, affinity=affinity))
 
     def run(self):
         """Run the DAG to completion; returns (session, final_receipt)."""
         from ..zkvm.claims import ExitCode
-        from ..zkvm.receipt import segment_claim, session_claim
+        from ..zkvm.receipt import segment_claim, session_segment_output
 
         chan = self.factory.job_channel(self.job_id)
-        self._submit(TaskKind.EXECUTE, (self.env, self.elf))
 
         if self.receipt_kind == "composite" and self.povw:
             raise ValueError("PoVW work claims require the lift/join "
                              "(succinct) flow, not composite receipts")
+
+        if self.stream_keccak:
+            job = self
+
+            class _StreamCoproc:
+                def prove_keccak(self, req):
+                    # runs on the executing worker's thread, strictly
+                    # while the EXECUTE task is outstanding — so the
+                    # count can never transit 0 spuriously
+                    with job._outst_lock:
+                        job._streamed += 1
+                    job._submit(TaskKind.PROVE_KECCAK, req)
+
+            self.env.coprocessor = _StreamCoproc()
+
+        self._submit(TaskKind.EXECUTE, (self.env, self.elf))
 
         session = None
         outstanding = 1
@@ -263,7 +287,13 @@ class ProofJob:
                     i += 1
 
         retries: dict = {}
-        while outstanding > 0:
+        while True:
+            with self._outst_lock:
+                # fold in keccak tasks streamed by the coprocessor hook
+                outstanding += self._streamed
+                self._streamed = 0
+            if outstanding <= 0:
+                break
             done: TaskDone = chan.get()
             outstanding -= 1
             if done.error is not None:
@@ -281,11 +311,13 @@ class ProofJob:
                 session = result
                 kind, *rest = session.exit_code
                 session_exit = ExitCode(kind, rest[0] if rest else 0)
-                claim = session_claim(session)
+                # the final segment claims the full guest-committed output
+                # (all assumptions); resolve strips them below
+                output = session_segment_output(session)
                 for i, seg in enumerate(session.segments):
                     final = i == len(session.segments) - 1
                     sc = segment_claim(seg, final, session_exit,
-                                       claim.output if final else None)
+                                       output if final else None)
                     segment_claims[seg.index] = sc
                     # segments live on the executing host (FileSegmentRef)
                     # or, with an asset server, anywhere by digest
@@ -449,7 +481,7 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
         if task.kind == TaskKind.UNWRAP:
             return prover.unwrap_povw(task.payload)
         if task.kind == TaskKind.SHRINK_WRAP:
-            return prover.identity_p254(task.payload)
+            return prover.shrink_wrap(task.payload)
         raise RuntimeError(f"accel worker got {task.kind}")
 
     workers = []

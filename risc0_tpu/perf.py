@@ -75,6 +75,24 @@ def toplevel_seconds() -> float:
                if "." not in path)
 
 
+def device_memory() -> dict | None:
+    """Current/peak device-allocator bytes (the HAL MemoryTracker
+    equivalent, reference zkp/src/hal/mod.rs:292-317, surfaced in the
+    datasheet).  Returns None when the backend doesn't report (jax CPU
+    often doesn't); on TPU this is HBM in-use/peak/limit."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    keep = ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+    out = {k: int(stats[k]) for k in keep if k in stats}
+    return out or None
+
+
 def summary(min_ms: float = 0.1) -> str:
     rows = sorted(report().items(), key=lambda kv: -kv[1][1])
     lines = []

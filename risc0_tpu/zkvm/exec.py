@@ -69,6 +69,11 @@ class ExecutorEnv:
     # sys_verify_integrity (reference host/client/env.rs add_assumption)
     assumptions: dict = field(default_factory=dict)
     keccak_max_po2: int = KECCAK_DEFAULT_PO2
+    # coprocessor callback (reference env.rs:421-427 coprocessor_callback):
+    # when set, each KECCAK_PROVE flush calls coprocessor.prove_keccak(req)
+    # immediately — proving streams during execution — instead of queueing
+    # on Session.pending_keccaks.  Not picklable: local executors only.
+    coprocessor: object | None = None
     segment_po2: int = 20
     session_limit: int | None = None
     fork_max_cycles: int = 1 << 32  # unconstrained-child safety limit
@@ -384,11 +389,17 @@ class _SyscallState:
                 machine, self.user_reg(machine, REG_A4), 32))
             root = bytes(self.peek_region(
                 machine, self.user_reg(machine, REG_A5), 32))
-            self.pending_keccaks.append({
+            req = {
                 "claim_digest": claim, "control_root": root,
                 "input": [list(s) for s in self.keccak_inputs],
                 "po2": self.env.keccak_max_po2,
-            })
+            }
+            if self.env.coprocessor is not None:
+                # stream the proof request out immediately (reference
+                # syscall/keccak.rs:115-116 coprocessor path)
+                self.env.coprocessor.prove_keccak(req)
+            else:
+                self.pending_keccaks.append(req)
             self.keccak_inputs = []
             return (0, 0)
         raise RuntimeError(f"sys_keccak: invalid mode: {mode}")

@@ -9,13 +9,17 @@ the same interface when the circuit port lands.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from .exec import ExecutorEnv, ExecutorImpl, Session, resolve_segment
-from .receipt import (CompositeReceipt, FakeReceipt, InnerReceipt, Receipt,
-                      SegmentReceipt, VerifierContext, is_dev_mode,
-                      segment_claim, session_claim)
+from .receipt import (CompositeReceipt, FakeReceipt, Groth16Receipt,
+                      InnerReceipt, Receipt, SegmentReceipt,
+                      VerifierContext, is_dev_mode, segment_claim,
+                      session_claim)
 from .claims import ExitCode, MaybePruned, Output
 
 
@@ -27,6 +31,13 @@ class ProverOpts:
     receipt_kind: str = "composite"  # composite | succinct | groth16
     max_segment_po2: int = 22
     dev_mode: bool = field(default_factory=is_dev_mode)
+    # External Groth16 prover hook for shrink_wrap (SNARK proving runs
+    # out-of-process, like the reference's groth16_proof docker flow):
+    # a callable taking the circom witness JSON string and returning the
+    # 256-byte seal, {"seal": hex}, or snarkjs proof JSON.  When None,
+    # the RISC0_SNARK_PROVER env var names a shell command with the same
+    # stdin/stdout contract.
+    snark_prover: object | None = None
 
 
 @dataclass
@@ -93,15 +104,18 @@ class DevModeProver(ProverServer):
             time.sleep(t)
 
     def prove_session(self, session: Session) -> ProveInfo:
+        from .receipt import session_segment_output
+
         claim = session_claim(session)
         receipts = []
         kind, *rest = session.exit_code
         session_exit = ExitCode(kind, rest[0] if rest else 0)
-        output = claim.output
+        output = session_segment_output(session)
         for i, seg in enumerate(session.segments):
             self._sleep(self.delay.prove_segment_core)
             final = i == len(session.segments) - 1
-            sc = segment_claim(seg, final, session_exit, output)
+            sc = segment_claim(seg, final, session_exit,
+                               output if final else None)
             receipts.append(FakeReceipt(sc))
         receipt = Receipt(InnerReceipt("fake", FakeReceipt(claim)),
                           session.journal)
@@ -187,6 +201,9 @@ class DevModeProver(ProverServer):
     def identity_p254(self, receipt):
         return receipt
 
+    def shrink_wrap(self, receipt):
+        return receipt
+
     def prove_keccak(self, request: dict):
         import numpy as np
 
@@ -207,11 +224,13 @@ class ProverImpl(ProverServer):
 
     def prove_session(self, session: Session) -> ProveInfo:
         from ..circuit.rv32im.prove import prove_segment as rv_prove_segment
+        from .receipt import session_segment_output
 
-        claim = session_claim(session)
         kind, *rest = session.exit_code
         session_exit = ExitCode(kind, rest[0] if rest else 0)
-        output = claim.output
+        # final segment claims the guest-committed output (ALL assumptions,
+        # reference prover_impl.rs:98-114); resolve strips them in compress
+        output = session_segment_output(session)
         receipts = []
         for i, seg in enumerate(session.segments):
             final = i == len(session.segments) - 1
@@ -237,10 +256,20 @@ class ProverImpl(ProverServer):
                 succinct = self.compress_composite(composite)
             receipt = Receipt(InnerReceipt("succinct", succinct),
                               session.journal)
+        elif self.opts.receipt_kind == "groth16":
+            succinct = self.compress_composite(composite)
+            wrapped = self.shrink_wrap(succinct)
+            if not isinstance(wrapped, Groth16Receipt):
+                raise NotImplementedError(
+                    "receipt kind groth16 needs an external SNARK prover: "
+                    "set ProverOpts.snark_prover or RISC0_SNARK_PROVER "
+                    "(shrink_wrap produced only the identity_p254 wrap "
+                    "input)")
+            receipt = Receipt(InnerReceipt("groth16", wrapped),
+                              session.journal)
         else:
             raise NotImplementedError(
-                f"receipt kind {self.opts.receipt_kind} (groth16 wrap is "
-                "produced via identity_p254 + external snark prover)")
+                f"unknown receipt kind {self.opts.receipt_kind}")
         # Self-check before returning (reference prover_impl.rs:155-170).
         ctx = self._verifier_ctx()
         receipt.verify_integrity(ctx)
@@ -349,6 +378,59 @@ class ProverImpl(ProverServer):
         (reference recursion/prove/mod.rs identity_p254)."""
         from . import recursion_driver
         return recursion_driver.identity_p254(receipt)
+
+    def shrink_wrap(self, receipt):
+        """SuccinctReceipt -> SNARK wrap (reference prove/mod.rs
+        shrink_wrap + the r0vm ShrinkWrap task): re-prove under the
+        poseidon254 suite via the identity predicate, then — when a SNARK
+        prover is configured (ProverOpts.snark_prover, or
+        RISC0_SNARK_PROVER naming a command that reads the circom
+        stark_verify witness JSON on stdin and writes the proof on
+        stdout) — run it over the seal-to-json payload and self-verify
+        the resulting Groth16Receipt with the BN254 pairing verifier.
+        The external prover must prove the reference stark_verify circuit
+        (ceremony verifying key); without one, the poseidon254 identity
+        receipt (the wrap input) is returned, as SNARK proving stays
+        external by design."""
+        from ..groth16.seal_to_json import to_json
+
+        p254 = self.identity_p254(receipt)
+
+        def witness_json():
+            return to_json(np.asarray(p254.seal, np.uint32))
+
+        hook = self.opts.snark_prover
+        if hook is None:
+            cmd = os.environ.get("RISC0_SNARK_PROVER")
+            if not cmd:
+                return p254
+            import subprocess
+
+            r = subprocess.run(cmd, shell=True,
+                               input=witness_json().encode(),
+                               capture_output=True)
+            if r.returncode != 0:
+                raise RuntimeError("snark prover failed: "
+                                   f"{r.stderr[-500:]!r}")
+            import json as _json
+            out = _json.loads(r.stdout)
+        else:
+            out = hook(witness_json())
+        if isinstance(out, (bytes, bytearray)):
+            seal = bytes(out)
+        elif "seal" in out:
+            seal = bytes.fromhex(out["seal"])
+        else:
+            from ..groth16.verifier import proof_json_to_seal
+            seal = proof_json_to_seal(out.get("proof", out))
+
+        from .receipt import (Groth16Receipt,
+                              Groth16ReceiptVerifierParameters)
+        params = Groth16ReceiptVerifierParameters.default()
+        g = Groth16Receipt(seal=seal, claim=p254.claim,
+                           verifier_parameters=params.digest())
+        g.verify_integrity(self._verifier_ctx())  # self-check
+        return g
 
 
 def _session_work(session):

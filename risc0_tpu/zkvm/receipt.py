@@ -103,9 +103,17 @@ class CompositeReceipt:
     def claim(self) -> ReceiptClaim:
         first = self.segments[0].claim
         last = self.segments[-1].claim
+        # Remove the assumptions from the last claim: verification requires
+        # every assumption to carry a verifiable receipt (reference
+        # receipt/composite.rs:161-194).
+        output = last.output
+        if output is not None and hasattr(output, "value") \
+                and output.value is not None:
+            output = MaybePruned.of(Output(
+                output.value.journal, MaybePruned.of(Assumptions([]))))
         return ReceiptClaim(
             pre=first.pre, post=last.post, exit_code=last.exit_code,
-            input=first.input, output=last.output)
+            input=first.input, output=output)
 
     def verify_integrity(self, ctx: VerifierContext):
         # claim chaining: each segment's post state must equal the next pre
@@ -303,21 +311,70 @@ class Receipt:
         self.inner.verify_integrity(ctx or VerifierContext())
 
 
+def keccak_root_claim(pending_keccaks):
+    """Claim digest of the keccak union-MMR root assumption the guest-side
+    batcher commits (reference session.rs:239-256 keccak_root_assumption +
+    mmr.rs GuestPeak), computed host-side without proving: per-batch claims
+    are compute_keccak_digest over the inputs, merged MMR-style with
+    digest-sorted UnionClaims — exactly what the union receipts will prove."""
+    if not pending_keccaks:
+        return None
+    from ..circuit.keccak import compute_keccak_digest
+    from .claims import UnionClaim
+
+    def merge(a, b):
+        a, b = np.asarray(a, np.uint32), np.asarray(b, np.uint32)
+        if tuple(int(w) for w in b) < tuple(int(w) for w in a):
+            a, b = b, a
+        return UnionClaim(left=a, right=b).digest()
+
+    peaks: list = []  # (height, digest), back = smallest
+    for req in pending_keccaks:
+        item, height = compute_keccak_digest(req["input"]), 0
+        while peaks and peaks[-1][0] == height:
+            _, other = peaks.pop()
+            item = merge(item, other)
+            height += 1
+        peaks.append((height, item))
+    acc = peaks[0][1]
+    for _h, nxt in peaks[1:]:
+        acc = merge(acc, nxt)
+    return acc
+
+
+def session_segment_output(session) -> MaybePruned | None:
+    """Output the GUEST committed — journal + every assumption recorded
+    (proven and unresolved) — claimed by the final segment (reference
+    prover_impl.rs:98-114 merges this into the last segment claim)."""
+    kind, *rest = session.exit_code
+    if not ExitCode(kind, rest[0] if rest else 0).is_term:
+        return None
+    assumptions = Assumptions(
+        [MaybePruned.of(a) for a, _receipt in session.assumptions_used])
+    return MaybePruned.of(Output.of(session.journal, assumptions))
+
+
 def session_claim(session) -> ReceiptClaim:
-    """Build the ReceiptClaim for an executed Session
-    (reference host/server/session.rs:199-237 + exec/executor.rs:295-302)."""
+    """Build the ReceiptClaim this session's final receipt proves
+    (reference host/server/session.rs:199-256 Session::claim).  Its output
+    lists only *unresolved* assumptions — proven ones are stripped by
+    resolve during compression — and the keccak batcher's union-root
+    assumption is excluded when pending_keccaks reproduce it (the union
+    receipt resolves it at prove time)."""
     from .claims import SystemState
 
     kind, *rest = session.exit_code
     exit_code = ExitCode(kind, rest[0] if rest else 0)
     output = None
     if exit_code.is_term:
-        # Unresolved assumptions recorded via sys_verify_integrity become part
-        # of the session output (reference host/server/session.rs:199-236);
-        # resolve() strips them one by one.
-        assumptions = Assumptions(
-            [MaybePruned.of(a) for a, _receipt in session.assumptions_used])
-        output = MaybePruned.of(Output.of(session.journal, assumptions))
+        kroot = keccak_root_claim(getattr(session, "pending_keccaks", []))
+        unresolved = [
+            MaybePruned.of(a) for a, receipt in session.assumptions_used
+            if receipt is None and not (
+                kroot is not None
+                and np.array_equal(np.asarray(a.claim, np.uint32), kroot))]
+        output = MaybePruned.of(Output.of(session.journal,
+                                          Assumptions(unresolved)))
     return ReceiptClaim(
         pre=MaybePruned.of(SystemState(0, session.pre_state)),
         post=MaybePruned.of(SystemState(0, session.post_state)),

@@ -105,8 +105,11 @@ def main():
         if "seal_kb" in r:
             extra += f"  seal {r['seal_kb']} KB"
         print(f"  {r['op']:<{width}}  {r['seconds']:>9.3f}s{extra}")
+    from risc0_tpu import perf
+
     with open(a.out, "w") as f:
-        json.dump({"device": dev, "rows": rows}, f, indent=2)
+        json.dump({"device": dev, "rows": rows,
+                   "device_memory": perf.device_memory()}, f, indent=2)
     print(f"\nwritten to {a.out}")
 
 

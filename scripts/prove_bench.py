@@ -98,6 +98,7 @@ def main():
         "user_cycles_per_s": round(sess.user_cycles / best),
         "seal_words": len(seal),
         "device": dev,
+        "device_memory": perf.device_memory(),  # peak HBM (MemoryTracker)
     }))
 
 

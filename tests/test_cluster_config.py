@@ -192,3 +192,32 @@ subscribe = ["prove-segment", "lift", "join", "union", "resolve"]
             remote.stop()
     finally:
         cluster.stop()
+
+
+def test_config_prover_worker_handles_prove_keccak(monkeypatch):
+    """A config-built prover worker subscribed to prove-keccak processes
+    ProveKeccakRequest tasks (dev-mode: fake receipt from the claim)."""
+    monkeypatch.setenv("RISC0_DEV_MODE", "1")
+    cfg = load_config("""
+version = 1
+[[prover]]
+count = 1
+subscribe = ["prove-keccak"]
+[prover.simulate]
+""")
+    cluster = launch_cluster(cfg)
+    try:
+        import numpy as np
+
+        from risc0_tpu.parallel.scheduler import Task
+
+        claim = (np.arange(8, dtype=np.uint32) + 77).tobytes()
+        chan = cluster.factory.job_channel(99)
+        cluster.factory.submit(Task(TaskKind.PROVE_KECCAK, 99, {
+            "claim_digest": claim, "control_root": b"\0" * 32,
+            "input": [], "po2": 14}))
+        done = chan.get(timeout=10)
+        assert done.error is None
+        assert done.result.claim.digest().tobytes() == claim
+    finally:
+        cluster.stop()

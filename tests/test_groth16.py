@@ -99,3 +99,32 @@ def test_seal_to_json_via_derived_types():
     assert blob["iop"] == ["7", "1"]
     with pytest.raises(ValueError, match="length mismatch"):
         to_json(mini[:-1], types=["fp", "digest"])
+
+
+def test_proof_json_to_seal_roundtrip():
+    """proof_json_to_seal encodes snarkjs JSON into the 256-byte seal
+    layout Verifier.from_seal decodes — the same (a, b, c) points must
+    come back out and still verify against the reference vectors."""
+    import json
+
+    from risc0_tpu.groth16 import bn254 as bn
+    from risc0_tpu.groth16.verifier import (Verifier, proof_json_to_seal,
+                                            verifying_key_from_json)
+
+    d = "/root/repo/tests/data/groth16"
+    proof = json.load(open(f"{d}/proof.json"))
+    public = json.load(open(f"{d}/public.json"))
+    vk_json = json.load(open(f"{d}/verification_key.json"))
+
+    seal = proof_json_to_seal(proof)
+    assert len(seal) == 256
+    via_json = Verifier.from_json(proof, public, vk_json)
+
+    w = [int.from_bytes(seal[32 * i: 32 * i + 32], "big") for i in range(8)]
+    a = (w[0], w[1])
+    b = ((w[3], w[2]), (w[5], w[4]))
+    c = (w[6], w[7])
+    assert (a, b, c) == (via_json.a, via_json.b, via_json.c)
+    v = Verifier(a, b, c, [int(x) for x in public],
+                 verifying_key_from_json(vk_json))
+    assert v.verify()

@@ -33,7 +33,8 @@ def _stub_seal_layer(monkeypatch, session):
 
     kind, *rest = session.exit_code
     sexit = ExitCode(kind, rest[0] if rest else 0)
-    output = session_claim(session).output
+    from risc0_tpu.zkvm.receipt import session_segment_output
+    output = session_segment_output(session)
     claims = {}
     n = len(session.segments)
     for i, seg in enumerate(session.segments):
@@ -232,3 +233,67 @@ def test_prove_session_keccak_assumption_crypto_e2e(monkeypatch):
                                  dev_mode=False)).prove_session(session)
     image_id = ExecutorImpl(env, elf).compute_image_id()
     info.receipt.verify(image_id, VerifierContext(dev_mode=False))
+
+
+def _fake_p254(monkeypatch):
+    """Stub identity_p254 + seal_to_json so shrink_wrap's SNARK-prover
+    wiring can be tested without recursion proves."""
+    from risc0_tpu.zkvm import prover as prover_mod
+    from risc0_tpu.zkvm.claims import MaybePruned
+
+    class _P254:
+        seal = np.arange(16, dtype=np.uint32)
+        hashfn = "poseidon254"
+        claim = MaybePruned.from_digest(np.arange(8, dtype=np.uint32))
+
+    monkeypatch.setattr(prover_mod.ProverImpl, "identity_p254",
+                        lambda self, r: _P254())
+    import risc0_tpu.groth16.seal_to_json as s2j
+    monkeypatch.setattr(s2j, "to_json",
+                        lambda seal, **kw: '{"iop": ["1", "2"]}')
+    return _P254
+
+
+def test_shrink_wrap_without_snark_prover_returns_p254(monkeypatch):
+    p254 = _fake_p254(monkeypatch)
+    monkeypatch.delenv("RISC0_SNARK_PROVER", raising=False)
+    out = ProverImpl().shrink_wrap(object())
+    assert isinstance(out, p254)
+
+
+def test_shrink_wrap_snark_hook_self_verifies(monkeypatch):
+    """The snark_prover hook gets the circom witness JSON; a proof that
+    doesn't verify against OUR claim's public inputs is rejected by the
+    BN254 self-check (reference shrink_wrap verifies before returning)."""
+    import json
+
+    from risc0_tpu.zkvm.receipt import VerificationError
+
+    _fake_p254(monkeypatch)
+    got = {}
+
+    def hook(witness_json):
+        got["witness"] = witness_json
+        # a REAL reference proof — valid SNARK, wrong statement for our
+        # claim, so the pairing self-check must reject the wrap
+        return json.load(open("/root/repo/tests/data/groth16/proof.json"))
+
+    with pytest.raises(VerificationError, match="groth16 proof invalid"):
+        ProverImpl(ProverOpts(snark_prover=hook)).shrink_wrap(object())
+    assert json.loads(got["witness"]) == {"iop": ["1", "2"]}
+
+
+def test_shrink_wrap_env_command_seal_path(monkeypatch):
+    """RISC0_SNARK_PROVER names a shell command (witness json on stdin ->
+    {"seal": hex} on stdout); a garbage seal fails the format check."""
+    from risc0_tpu.zkvm.receipt import VerificationError
+
+    _fake_p254(monkeypatch)
+    seal_hex = ("00" * 32) * 8  # (0,0) points: not on curve
+    monkeypatch.setenv(
+        "RISC0_SNARK_PROVER",
+        f"python3 -c 'import sys; sys.stdin.read(); "
+        f"print(chr(123) + chr(34) + \"seal\" + chr(34) + chr(58) "
+        f"+ chr(34) + \"{seal_hex}\" + chr(34) + chr(125))'")
+    with pytest.raises(VerificationError, match="groth16"):
+        ProverImpl(ProverOpts()).shrink_wrap(object())

@@ -365,13 +365,14 @@ def test_composite_receipt_kind_skips_recursion(loop_elf):
 
 def test_groth16_receipt_kind_shrink_wraps(loop_elf):
     """receipt_kind='groth16' appends a SHRINK_WRAP task: the converged
-    succinct root is re-proved via the identity_p254 predicate."""
+    succinct root goes through prover.shrink_wrap (identity_p254 + the
+    configured external SNARK prover)."""
     factory = Factory()
 
     class WrapSpy(DevModeProver):
         wrapped = []
 
-        def identity_p254(self, receipt):
+        def shrink_wrap(self, receipt):
             self.wrapped.append(receipt)
             return ("p254", receipt)
 
@@ -431,6 +432,47 @@ def test_keccak_guest_assumption_resolved_by_union_receipt():
         out = receipt.claim.output.value
         assert out.assumptions.value.items == []  # resolved away
         assert receipt.claim.exit_code.kind == "Halted"
+    finally:
+        for w in workers:
+            w.stop()
+
+
+def test_stream_keccak_coprocessor_overlaps_execution(loop_elf):
+    """stream_keccak=True: PROVE_KECCAK tasks are submitted the moment the
+    guest flushes a batch (reference CoprocessorCallback), not queued on
+    the session — and the union-root resolution still strips the guest's
+    assumption."""
+    from risc0_tpu.zkvm.guest import Asm
+
+    NR = "risc0_zkvm_platform::syscall::nr::"
+    claim = (np.arange(8, dtype=np.uint32) * 5 + 1)
+    root = np.arange(8, dtype=np.uint32) + 600
+
+    a = Asm()
+    ktok = a.put_data((NR + "SYS_KECCAK").encode() + b"\0")
+    vtok = a.put_data((NR + "SYS_VERIFY_INTEGRITY2").encode() + b"\0")
+    state = a.put_data(b"\x01" * 200, align=8)
+    cr = a.put_data(claim.tobytes())
+    rootptr = a.put_data(root.tobytes())
+    a.syscall("SYS_KECCAK", ktok, state, 50, args=[0, state, state])
+    a.syscall("SYS_KECCAK", ktok, 0, 0, args=[1, cr, rootptr])
+    a.syscall("SYS_VERIFY_INTEGRITY2", vtok, 0, 0, args=[cr, 64])
+    a.halt(0)
+    elf = a.link()
+
+    factory = Factory()
+    prover = DevModeProver()
+    workers = make_local_pools(factory, prover, num_cpu=1, num_accel=2)
+    try:
+        job = ProofJob(factory, prover, ExecutorEnv(segment_po2=16), elf,
+                       stream_keccak=True)
+        session, receipt = job.run()
+        assert session.pending_keccaks == []      # streamed, not queued
+        assert job.union_receipt is not None
+        assert np.array_equal(
+            np.asarray(job.union_receipt.claim.digest(), np.uint32), claim)
+        out = receipt.claim.output.value
+        assert out.assumptions.value.items == []  # resolved away
     finally:
         for w in workers:
             w.stop()

@@ -133,3 +133,51 @@ def test_external_prover_against_api(monkeypatch):
         assert res["receipt"]
     finally:
         srv.shutdown()
+
+
+def test_dev_mode_keccak_guest_receipt_verifies(monkeypatch):
+    """Session::claim excludes the keccak batcher's union-root assumption
+    when pending_keccaks reproduce it (reference session.rs:239-287), so
+    even dev-mode receipts for keccak guests pass Receipt.verify."""
+    from risc0_tpu.circuit.keccak import compute_keccak_digest
+    from risc0_tpu.zkvm.claims import (Assumption, Assumptions, MaybePruned,
+                                       Output)
+    from risc0_tpu.zkvm.guest import Asm
+    from risc0_tpu.zkvm.receipt import keccak_root_claim
+
+    NR = "risc0_zkvm_platform::syscall::nr::"
+    state0 = [int(i * 31 + 7) % (1 << 64) for i in range(25)]
+    claim = compute_keccak_digest([state0])
+    root = np.zeros(8, np.uint32)
+    journal = b"kc-dev"
+    out = Output.of(journal, Assumptions(
+        [MaybePruned.of(Assumption(claim, root))]))
+
+    a = Asm()
+    ktok = a.put_data((NR + "SYS_KECCAK").encode() + b"\0")
+    vtok = a.put_data((NR + "SYS_VERIFY_INTEGRITY2").encode() + b"\0")
+    wtok = a.put_data((NR + "SYS_WRITE").encode() + b"\0")
+    state = a.put_data(b"".join(int(x).to_bytes(8, "little")
+                                for x in state0), align=8)
+    cr = a.put_data(claim.tobytes())
+    rootptr = a.put_data(root.tobytes())
+    jdata = a.put_data(journal)
+    odig = a.put_data(np.asarray(out.digest(), np.uint32).tobytes())
+    a.syscall("SYS_KECCAK", ktok, state, 50, args=[0, state, state])
+    a.syscall("SYS_KECCAK", ktok, 0, 0, args=[1, cr, rootptr])
+    a.syscall("SYS_VERIFY_INTEGRITY2", vtok, 0, 0, args=[cr, 64])
+    a.syscall("SYS_WRITE", wtok, 0, 0, args=[3, jdata, len(journal)])
+    a.halt(0, out_digest_token=odig)
+    elf = a.link()
+
+    env = ExecutorEnv(segment_po2=15, keccak_max_po2=14)
+    impl = ExecutorImpl(env, elf)
+    session = impl.run()
+    assert np.array_equal(keccak_root_claim(session.pending_keccaks), claim)
+
+    info = DevModeProver().prove_session(session)
+    # the keccak root assumption is covered by pending_keccaks -> the
+    # session claim has no assumptions and full verify passes
+    assert info.receipt.claim().output.value.assumptions.value.items == []
+    info.receipt.verify(impl.compute_image_id(),
+                        VerifierContext(dev_mode=True))
