@@ -168,9 +168,11 @@ class WorkLog:
     """Tracks used nonces per job with 256-bit bitmaps and rejects
     double-counting (reference povw/src/tree.rs Bitmap + WorkLog).  The
     commit digest folds sorted (job -> bitmap) leaves with the same
-    tagged-struct hashing the claims use — a framework-level commitment
-    (the reference's fixed-depth subtree layout serves its on-chain
-    contract and is not reproduced)."""
+    tagged-struct hashing the claims use — a fast framework-level
+    commitment.  For the reference's fixed-depth on-chain layout
+    (sparse 248-level tree, inclusion/non-inclusion openings) use
+    povw_tree.WorkSet/WorkLog/Job; `to_tree()` converts when every job
+    range starts at segment 0."""
 
     def __init__(self, log_id: int = 0):
         self.log_id = log_id
@@ -194,6 +196,24 @@ class WorkLog:
 
     def contains(self, nonce: PovwNonce) -> bool:
         return bool(self.jobs.get(nonce.job, 0) >> nonce.segment & 1)
+
+    def to_tree(self):
+        """This log as an on-chain-layout povw_tree.WorkLog.  The tree's
+        Job stores only [0, index_max] (tree.rs:400-423), so every job's
+        used bitmap must be contiguous from segment 0 — which is how
+        session proving consumes nonces (session_work)."""
+        from .povw_tree import Job as TreeJob
+        from .povw_tree import WorkLog as TreeWorkLog
+
+        out = TreeWorkLog()
+        for job, bits in self.jobs.items():
+            index_max = bits.bit_length() - 1
+            if bits != (1 << (index_max + 1)) - 1:
+                raise WorkError(
+                    f"job {job} bitmap is not contiguous from 0; "
+                    "no on-chain Job representation")
+            out.add(job, TreeJob(index_max))
+        return out
 
     def commit(self) -> np.ndarray:
         leaves = []
