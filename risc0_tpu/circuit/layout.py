@@ -77,15 +77,34 @@ class LayoutView:
         return int(np.asarray(row)[self.offset])
 
     def read_u32_pair(self, row) -> int:
-        """low/high 16-bit halves -> u32 (zirgen ValU32 pattern)."""
+        """low/high 16-bit halves -> u32 (zirgen ValU32 pattern); rejects
+        halves outside 16 bits like the reference's decode paths."""
         r = np.asarray(row)
-        return int(r[self.low.offset]) | (int(r[self.high.offset]) << 16)
+        low, high = int(r[self.low.offset]), int(r[self.high.offset])
+        if low >= 1 << 16 or high >= 1 << 16:
+            raise ValueError(f"{self._name}: 16-bit half out of range")
+        return low | (high << 16)
 
     def read_digest(self, row) -> np.ndarray:
         """8 lo/hi word pairs -> (8,) uint32 digest (DigestReg)."""
         vals = self.values if _has(self._node, "values") else self
         return np.array([vals[i].read_u32_pair(row) for i in range(8)],
                         np.uint32)
+
+    def dump(self, row=None, depth: int = 0) -> str:
+        """Readable rendering of the subtree — with values resolved
+        against `row` when given (reference layout.rs Debug visitor)."""
+        pad = "  " * depth
+        node = self._node
+        if isinstance(node, int):
+            val = "" if row is None else f" = {int(np.asarray(row)[node])}"
+            return f"{pad}{self._name.rsplit('.', 1)[-1]}: [{node}]{val}\n"
+        out = f"{pad}{self._name.rsplit('.', 1)[-1]}:\n"
+        children = (self if isinstance(node, list)
+                    else (getattr(self, k) for k in self.keys()))
+        for child in children:
+            out += child.dump(row, depth + 1)
+        return out
 
 
 def _has(node, key):

@@ -9,46 +9,14 @@ stored as 16-bit shorts (low, high per word).
 
 from __future__ import annotations
 
-import json
-import os
-
 import numpy as np
 
 from ... import field as F
 from ...zkvm.claims import ExitCode, MaybePruned, ReceiptClaim, SystemState
+from ..layout import rv32im_global_layout
 
 OUTPUT_SIZE = 90
 RV32IM_SEAL_VERSION = 2
-
-_LAYOUT = None
-
-
-def _layout() -> dict:
-    global _LAYOUT
-    if _LAYOUT is None:
-        path = os.path.join(os.path.dirname(__file__), "data",
-                            "global_layout.json")
-        with open(path) as f:
-            _LAYOUT = json.load(f)
-    return _LAYOUT
-
-
-def _reg(node) -> int:
-    while isinstance(node, dict):
-        node = node["_super"] if "_super" in node else next(iter(node.values()))
-    return int(node)
-
-
-def _digest_from_shorts(globals_std: np.ndarray, node: dict) -> np.ndarray:
-    words = []
-    for pair in node["values"]:
-        low = int(globals_std[_reg(pair["low"])])
-        high = int(globals_std[_reg(pair["high"])])
-        if low >= 1 << 16 or high >= 1 << 16:
-            raise ValueError("digest short out of range")
-        words.append(low | (high << 16))
-    return np.array(words, np.uint32)
-
 
 def decode_claim(seal) -> ReceiptClaim:
     """Decode the claim committed by an rv32im segment seal."""
@@ -57,20 +25,20 @@ def decode_claim(seal) -> ReceiptClaim:
         raise ValueError("seal version mismatch")
     globals_mont = seal[1 : 1 + OUTPUT_SIZE]
     g = F.decode_np(globals_mont)  # standard-form values
-    lay = _layout()
+    lay = rv32im_global_layout()
 
-    pre_state = _digest_from_shorts(g, lay["state_in"])
-    post_state = _digest_from_shorts(g, lay["state_out"])
-    input_digest = _digest_from_shorts(g, lay["input"])
-    output_digest = _digest_from_shorts(g, lay["output"])
-    is_terminate = int(g[_reg(lay["is_terminate"])])
+    pre_state = lay.state_in.read_digest(g)
+    post_state = lay.state_out.read_digest(g)
+    input_digest = lay.input.read_digest(g)
+    output_digest = lay.output.read_digest(g)
+    is_terminate = lay.is_terminate.read(g)
 
     terminate_state = None
     exit_code = ExitCode("SystemSplit")
     output = None
     if is_terminate == 1:
-        a0_high = int(g[_reg(lay["term_a0high"])])
-        a0_low = int(g[_reg(lay["term_a0low"])])
+        a0_high = lay.term_a0high.read(g)
+        a0_low = lay.term_a0low.read(g)
         # HighLowU16(user_exit, halt_type): high half = user exit code,
         # low half = halt type (0 terminate, 1 pause)
         if a0_low == 0:
@@ -109,13 +77,10 @@ def decode_work(seal) -> "Work":
         raise ValueError("seal version mismatch")
     g = F.decode_np(seal[1 : 1 + OUTPUT_SIZE])
     po2 = int(seal[1 + OUTPUT_SIZE])
-    lay = _layout()
     halfs = []
-    for pair in lay["povw_nonce"]["values"]:
-        for key in ("low", "high"):
-            v = int(g[_reg(pair[key])])
-            if v >= 1 << 16:
-                raise ValueError("nonce short out of range")
-            halfs.append(v)
+    for pair in rv32im_global_layout().povw_nonce.values:
+        halfs.extend([pair.low.read(g), pair.high.read(g)])
+    if any(h >= 1 << 16 for h in halfs):
+        raise ValueError("nonce short out of range")
     nonce = PovwNonce.from_u16s(halfs)
     return Work(nonce_min=nonce, nonce_max=nonce, value=1 << po2)

@@ -115,29 +115,29 @@ def test_ir_plan_matches_reference_evaluator():
 
 
 def test_claim_decode_roundtrip():
-    from risc0_tpu.circuit.rv32im.claim import (OUTPUT_SIZE, _layout, _reg,
-                                                decode_claim)
+    from risc0_tpu.circuit.layout import rv32im_global_layout
+    from risc0_tpu.circuit.rv32im.claim import OUTPUT_SIZE, decode_claim
 
     rng = np.random.default_rng(5)
-    lay = _layout()
+    lay = rv32im_global_layout()
     g = np.zeros(OUTPUT_SIZE, np.uint64)
 
     def put_digest(node, words):
-        for pair, w in zip(node["values"], words):
-            g[_reg(pair["low"])] = int(w) & 0xFFFF
-            g[_reg(pair["high"])] = int(w) >> 16
+        for pair, w in zip(node.values, words):
+            g[pair.low.offset] = int(w) & 0xFFFF
+            g[pair.high.offset] = int(w) >> 16
 
     pre = rng.integers(0, 2**32, 8, dtype=np.uint32)
     post = rng.integers(0, 2**32, 8, dtype=np.uint32)
     inp = rng.integers(0, 2**32, 8, dtype=np.uint32)
     out = rng.integers(0, 2**32, 8, dtype=np.uint32)
-    put_digest(lay["state_in"], pre)
-    put_digest(lay["state_out"], post)
-    put_digest(lay["input"], inp)
-    put_digest(lay["output"], out)
-    g[_reg(lay["is_terminate"])] = 1
-    g[_reg(lay["term_a0high"])] = 3
-    g[_reg(lay["term_a0low"])] = 0
+    put_digest(lay.state_in, pre)
+    put_digest(lay.state_out, post)
+    put_digest(lay.input, inp)
+    put_digest(lay.output, out)
+    g[lay.is_terminate.offset] = 1
+    g[lay.term_a0high.offset] = 3
+    g[lay.term_a0low.offset] = 0
     seal = np.concatenate([[2], F.encode_np(g.astype(np.uint32))]).astype(
         np.uint32)
     claim = decode_claim(seal)
