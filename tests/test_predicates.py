@@ -201,3 +201,21 @@ def test_keccak_union_e2e():
     u = union(receipts[0], receipts[1])
     _ids, root = own_control_ids()
     u.verify_integrity(VerifierContext(control_root=root))
+
+
+def test_vendored_predicate_set_complete():
+    """Every po2 the executor can emit (min segment po2 15, plus the
+    po2=14 test fixture) has a vendored lift program, and the full PoVW
+    program set ships; programs deserialize to runnable code."""
+    ids, _root = own_control_ids()
+    expected = {
+        "lift_rv32im_14", "lift_rv32im_15", "lift_rv32im_16",
+        "lift_rv32im_povw_15", "lift_rv32im_povw_16",
+        "join", "join_povw", "join_unwrap_povw", "unwrap_povw",
+        "resolve", "resolve_povw", "resolve_unwrap_povw",
+        "union", "identity",
+    }
+    assert expected <= set(ids)
+    for name in ("lift_rv32im_15", "lift_rv32im_povw_16", "unwrap_povw"):
+        prog = load_own_program(name)
+        assert prog.code_rows > 100_000
