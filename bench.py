@@ -86,7 +86,21 @@ def main():
 
     rng = np.random.default_rng(7)
     t0 = time.perf_counter()
-    seal = prove_segment(seg, rng=rng)  # warm iter: pays jit compiles
+    # warm iter: pays jit compiles.  The axon remote-compile service
+    # sometimes drops a response mid-body ("response body closed before
+    # all bytes were read"); compiles that DID finish are in the
+    # persistent cache, so a retry resumes where the failure hit.
+    for attempt in range(3):
+        try:
+            seal = prove_segment(seg, rng=rng)
+            break
+        except Exception as e:
+            transient = "remote_compile" in str(e) or "INTERNAL" in str(e)
+            if attempt == 2 or not transient:
+                raise
+            import sys
+            print(f"# warm iter transient failure (retry {attempt + 1}): "
+                  f"{str(e)[:120]}", file=sys.stderr, flush=True)
     warm_s = time.perf_counter() - t0
 
     best = warm_s

@@ -61,6 +61,17 @@ def main():
     log.record(work)
     print(f"work log commit : {bytes(log.commit().tobytes()).hex()[:16]}…")
 
+    # export to the reference's on-chain sparse-tree layout and prove a
+    # nonce was consumed (povw_tree.py; reference povw/src/tree.rs)
+    from risc0_tpu.zkvm.povw_tree import WorkSet
+
+    ws = WorkSet({job_id.log: log.to_tree()})
+    nonce = job_id.nonce(0).to_u256()
+    opening = ws.prove_opening(nonce)
+    opening.verify_inclusion(ws.commit(), nonce)
+    print(f"on-chain root   : {ws.commit().hex()[:16]}… "
+          f"(inclusion proof for segment-0 nonce verified)")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,157 @@
+"""Work-log update prover — the host driver around the PoVW Log Builder.
+
+Mirrors the reference's `WorkLogUpdateProver` (risc0/povw/src/prover.rs:
+34-242) and the Log Builder guest contract (povw/src/guest.rs): each
+update round takes WorkClaim receipts, adds one `Job` per claim to the
+prover's on-chain work-log tree with a non-inclusion proof that the job
+slot was empty, and commits a `LogBuilderJournal` binding
+(initial_commit -> updated_commit, summed work value) for the on-chain
+accounting contract.
+
+The reference runs these checks inside a prebuilt Rust guest
+(risc0-povw-log-builder.bin) so the state transition itself is proven;
+that guest is a compiled artifact we do not reproduce. Here the
+identical transition checks run host-side (`apply_update`), and the
+journal receipt is produced by a pluggable `journal_prover` — dev-mode
+FakeReceipt by default, a guest-backed prover when one is registered.
+Work receipts ARE still cryptographically verifiable (they are the
+framework's WorkClaim succinct receipts); only the log-update journal
+receipt is dev-mode without a guest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .claims import bytes_digest, receipt_claim_ok
+from .povw import WorkClaim, WorkError
+from .povw_tree import Job, SubtreeOpening, WorkLog
+
+
+@dataclass
+class WorkLogUpdate:
+    """One claim + proof that its job slot was unused
+    (guest.rs:100-125)."""
+
+    claim: WorkClaim
+    noninclusion_proof: SubtreeOpening
+
+
+@dataclass
+class LogBuilderJournal:
+    """Journal the Log Builder commits (guest.rs:127-171)."""
+
+    work_log_id: int
+    initial_commit: bytes
+    updated_commit: bytes
+    update_value: int
+    self_image_id: np.ndarray
+
+    def encode(self) -> bytes:
+        return (self.work_log_id.to_bytes(20, "little")
+                + self.initial_commit + self.updated_commit
+                + self.update_value.to_bytes(8, "little")
+                + np.asarray(self.self_image_id, np.uint32).tobytes())
+
+    @staticmethod
+    def decode(buf: bytes) -> "LogBuilderJournal":
+        if len(buf) != 20 + 32 + 32 + 8 + 32:
+            raise ValueError("bad LogBuilderJournal length")
+        return LogBuilderJournal(
+            work_log_id=int.from_bytes(buf[:20], "little"),
+            initial_commit=buf[20:52],
+            updated_commit=buf[52:84],
+            update_value=int.from_bytes(buf[84:92], "little"),
+            self_image_id=np.frombuffer(buf[92:124], np.uint32).copy(),
+        )
+
+
+def apply_update(commit: bytes, update: WorkLogUpdate) -> tuple[bytes, int]:
+    """The Log Builder guest's per-update state transition: check the
+    non-inclusion proof against the current commitment, then recompute
+    the commitment with the job's full boundary subtree in place
+    (prover.rs:163-205 validations + the in-guest root update).
+
+    Returns (new_commit, work_value)."""
+    work = update.claim.work
+    if isinstance(work, np.ndarray):
+        raise WorkError("work claim work is pruned")
+    nmin, nmax = work.nonce_min, work.nonce_max
+    if nmin.log != nmax.log:
+        raise WorkError("nonce range spans work logs")
+    if nmin.job != nmax.job:
+        raise WorkError("nonce range spans jobs")
+    if nmin.segment != 0:
+        raise WorkError("work claim nonce range must start at segment 0")
+    seq = nmin.job << 32
+    update.noninclusion_proof.verify_empty(commit, seq)
+    job_root = Job(nmax.segment).commit()
+    new_commit = update.noninclusion_proof.root(job_root, seq)
+    return new_commit, work.value
+
+
+@dataclass
+class WorkLogUpdateProver:
+    """Stateful update driver (prover.rs:34-242): owns the work-log tree,
+    proves each batch of WorkClaim receipts into a journal receipt, and
+    chains updates through `continuation`."""
+
+    log_id: int
+    work_log: WorkLog = field(default_factory=WorkLog)
+    image_id: np.ndarray = field(
+        default_factory=lambda: np.zeros(8, np.uint32))
+    journal_prover: object = None   # callable(journal_bytes, image_id)
+    continuation: tuple | None = None   # (LogBuilderJournal, Receipt)
+
+    def prove_update(self, work_receipts):
+        """Add each receipt's job to the work log and produce the update
+        receipt. Work receipts must carry non-pruned WorkClaims whose
+        nonce ranges live in this prover's log (prove_update
+        validations, prover.rs:142-205)."""
+        from .receipt import FakeReceipt, InnerReceipt, Receipt
+
+        if not self.work_log.is_empty() and self.continuation is None:
+            raise WorkError(
+                "missing continuation information with non-empty work log")
+        initial_commit = self.work_log.commit()
+
+        commit, total = initial_commit, 0
+        for receipt in work_receipts:
+            wc = receipt.claim
+            if not isinstance(wc, WorkClaim):
+                raise WorkError("receipt does not carry a WorkClaim")
+            work = wc.work
+            if isinstance(work, np.ndarray):
+                raise WorkError("work receipt claim work is pruned")
+            if work.nonce_min.log != self.log_id or \
+                    work.nonce_max.log != self.log_id:
+                raise WorkError(
+                    f"work claim log id {work.nonce_min.log:#x} is not "
+                    f"this prover's log {self.log_id:#x}")
+            job_number = work.nonce_min.job
+            proof = self.work_log.prove_add(job_number,
+                                            Job(work.nonce_max.segment))
+            commit, value = apply_update(
+                commit, WorkLogUpdate(wc, proof))
+            total += value
+        if commit != self.work_log.commit():
+            raise WorkError("update commitment mismatch")  # unreachable
+
+        journal = LogBuilderJournal(
+            work_log_id=self.log_id,
+            initial_commit=initial_commit,
+            updated_commit=commit,
+            update_value=total,
+            self_image_id=self.image_id,
+        )
+        data = journal.encode()
+        if self.journal_prover is not None:
+            receipt = self.journal_prover(data, self.image_id)
+        else:
+            claim = receipt_claim_ok(self.image_id, bytes_digest(data))
+            receipt = Receipt(inner=InnerReceipt("fake", FakeReceipt(claim)),
+                              journal=data)
+        self.continuation = (journal, receipt)
+        return journal, receipt
