@@ -104,12 +104,35 @@ class WorkLogUpdateProver:
         default_factory=lambda: np.zeros(8, np.uint32))
     journal_prover: object = None   # callable(journal_bytes, image_id)
     continuation: tuple | None = None   # (LogBuilderJournal, Receipt)
+    verifier_ctx: object = None   # VerifierContext for work receipts
+
+    def _verify_work_receipt(self, receipt):
+        """Cryptographically verify one work receipt before consuming it —
+        the reference adds each receipt as a guest assumption and the
+        log-builder guest calls env::verify_assumption per claim
+        (povw/src/guest.rs); skipping this would let a forged WorkClaim
+        commit value into the journal."""
+        from .receipt import VerificationError, VerifierContext
+
+        ctx = self.verifier_ctx or VerifierContext()
+        verify = getattr(receipt, "verify_integrity", None)
+        if verify is None:
+            if not ctx.dev_mode:
+                raise WorkError(
+                    "work receipt carries no proof (dev mode not enabled)")
+            return
+        try:
+            verify(ctx)
+        except VerificationError as e:
+            raise WorkError(f"work receipt failed verification: {e}") from e
 
     def prove_update(self, work_receipts):
         """Add each receipt's job to the work log and produce the update
         receipt. Work receipts must carry non-pruned WorkClaims whose
         nonce ranges live in this prover's log (prove_update
-        validations, prover.rs:142-205)."""
+        validations, prover.rs:142-205).  All per-claim validations run
+        BEFORE the first work-log mutation (reference prover.rs:186-197
+        ordering) so a rejected claim cannot leave its job inserted."""
         from .receipt import FakeReceipt, InnerReceipt, Receipt
 
         if not self.work_log.is_empty() and self.continuation is None:
@@ -117,7 +140,7 @@ class WorkLogUpdateProver:
                 "missing continuation information with non-empty work log")
         initial_commit = self.work_log.commit()
 
-        commit, total = initial_commit, 0
+        claims = []
         for receipt in work_receipts:
             wc = receipt.claim
             if not isinstance(wc, WorkClaim):
@@ -125,17 +148,37 @@ class WorkLogUpdateProver:
             work = wc.work
             if isinstance(work, np.ndarray):
                 raise WorkError("work receipt claim work is pruned")
-            if work.nonce_min.log != self.log_id or \
-                    work.nonce_max.log != self.log_id:
+            nmin, nmax = work.nonce_min, work.nonce_max
+            if nmin.log != self.log_id or nmax.log != self.log_id:
                 raise WorkError(
-                    f"work claim log id {work.nonce_min.log:#x} is not "
+                    f"work claim log id {nmin.log:#x} is not "
                     f"this prover's log {self.log_id:#x}")
-            job_number = work.nonce_min.job
-            proof = self.work_log.prove_add(job_number,
-                                            Job(work.nonce_max.segment))
-            commit, value = apply_update(
-                commit, WorkLogUpdate(wc, proof))
-            total += value
+            if nmin.job != nmax.job:
+                raise WorkError("nonce range spans jobs")
+            if nmin.segment != 0:
+                raise WorkError(
+                    "work claim nonce range must start at segment 0")
+            if any(nmin.job == c[1].work.nonce_min.job for c in claims):
+                raise WorkError(
+                    f"job id {nmin.job:#x} appears twice in one update")
+            self._verify_work_receipt(receipt)
+            claims.append((receipt, wc))
+
+        commit, total = initial_commit, 0
+        snapshot = dict(self.work_log.jobs)
+        try:
+            for _receipt, wc in claims:
+                work = wc.work
+                job_number = work.nonce_min.job
+                proof = self.work_log.prove_add(
+                    job_number, Job(work.nonce_max.segment))
+                commit, value = apply_update(
+                    commit, WorkLogUpdate(wc, proof))
+                total += value
+        except Exception:
+            # restore the tree so a failed batch leaves no partial insert
+            self.work_log.jobs = snapshot
+            raise
         if commit != self.work_log.commit():
             raise WorkError("update commitment mismatch")  # unreachable
 

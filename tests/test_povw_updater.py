@@ -25,16 +25,31 @@ def _claim():
 
 
 class _WorkReceipt:
-    """Minimal stand-in for a SuccinctReceipt[WorkClaim]."""
+    """Minimal stand-in for a SuccinctReceipt[WorkClaim]; verifies only
+    under a dev-mode context (like the framework's FakeReceipt)."""
 
-    def __init__(self, job_number, segments, value, log=LOG):
+    def __init__(self, job_number, segments, value, log=LOG,
+                 start_segment=0):
         jid = PovwJobId(log=log, job=job_number)
         self.claim = WorkClaim(
-            _claim(), Work(jid.nonce(0), jid.nonce(segments - 1), value))
+            _claim(),
+            Work(jid.nonce(start_segment), jid.nonce(segments - 1), value))
+
+    def verify_integrity(self, ctx):
+        from risc0_tpu.zkvm.receipt import VerificationError
+        if not ctx.dev_mode:
+            raise VerificationError("stand-in receipt: dev mode only")
+
+
+def _dev_prover(**kw):
+    from risc0_tpu.zkvm.receipt import VerifierContext
+    return WorkLogUpdateProver(
+        log_id=kw.pop("log_id", LOG),
+        verifier_ctx=VerifierContext(dev_mode=True), **kw)
 
 
 def test_prove_update_chains_commitments():
-    prover = WorkLogUpdateProver(log_id=LOG)
+    prover = _dev_prover()
     empty_root = prover.work_log.commit()
 
     journal, receipt = prover.prove_update(
@@ -56,12 +71,43 @@ def test_prove_update_chains_commitments():
 
 
 def test_prove_update_rejects_foreign_log_and_reuse():
-    prover = WorkLogUpdateProver(log_id=LOG)
+    prover = _dev_prover()
     with pytest.raises(WorkError):
         prover.prove_update([_WorkReceipt(1, 4, 1, log=LOG + 1)])
     prover.prove_update([_WorkReceipt(7, 4, 1)])
     with pytest.raises(Exception):  # job id already occupied
         prover.prove_update([_WorkReceipt(7, 2, 1)])
+
+
+def test_prove_update_validates_before_mutating():
+    """A batch with one bad claim must leave the work log untouched so a
+    retry with the corrected claim succeeds (ADVICE r2: reference
+    prover.rs:186-197 validates before prove_add)."""
+    prover = _dev_prover()
+    prover.prove_update([_WorkReceipt(1, 4, 1)])
+    commit_before = prover.work_log.commit()
+    jobs_before = dict(prover.work_log.jobs)
+    # second claim invalid: nonce range starts at segment 2
+    with pytest.raises(WorkError):
+        prover.prove_update(
+            [_WorkReceipt(2, 4, 1), _WorkReceipt(3, 5, 1, start_segment=2)])
+    assert prover.work_log.commit() == commit_before
+    assert set(prover.work_log.jobs) == set(jobs_before)
+    # retrying the good claims now succeeds (job 2 was not half-inserted)
+    prover.prove_update([_WorkReceipt(2, 4, 1), _WorkReceipt(3, 5, 1)])
+
+
+def test_prove_update_requires_verifiable_receipts():
+    """Without dev mode, an unverifiable work receipt is rejected —
+    forged WorkClaims must not commit value into the journal (ADVICE r2;
+    reference guest.rs env::verify_assumption per claim)."""
+    from risc0_tpu.zkvm.receipt import VerifierContext
+
+    prover = WorkLogUpdateProver(
+        log_id=LOG, verifier_ctx=VerifierContext(dev_mode=False))
+    with pytest.raises(WorkError):
+        prover.prove_update([_WorkReceipt(1, 4, 1)])
+    assert prover.work_log.is_empty()
 
 
 def test_apply_update_verifies_noninclusion():
