@@ -240,6 +240,16 @@ def combos_divide(combos, zs_levels, active_levels, z_check):
 
 
 @jax.jit
+def combos_subtract_head(combos, corr):
+    """combos[:, :w] -= corr for a small host-computed correction block
+    (combos_prepare without pulling the full array to host).
+
+    combos: (m, n, 4); corr: (m, w, 4) with w << n."""
+    w = corr.shape[1]
+    return combos.at[:, :w].set(F.sub(combos[:, :w], corr))
+
+
+@jax.jit
 def poly_divide_ext(p, z):
     """Synthetic division of each row by (x - z); p: (m, n, 4) natural coeffs.
 

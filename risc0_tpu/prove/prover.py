@@ -196,25 +196,30 @@ class Prover:
                 combos, jnp.asarray(mix_pows), check_group.coeffs, which,
                 combo_count)
 
-        # combos_prepare: subtract claimed opening polys (hal/mod.rs:202-234)
+        # combos_prepare: subtract claimed opening polys (hal/mod.rs:202-234).
+        # Only coefficients [0, max_reg_size) of each combo are touched, so
+        # build the tiny correction block host-side and subtract it on
+        # device — no full-array host roundtrip (r2: np.array(combos) pulled
+        # 5 x cycles x 16B back per prove).
         with perf.scope("combos_prepare"):
-            combos_np = np.array(combos)  # writable host copy
+            max_size = max([reg.size for reg in taps.regs] + [1])
+            corr = np.zeros((combo_count + 1, max_size, 4), np.uint32)
             cur = poly.ext_one()
             cur_pos = 0
             for reg in taps.regs:
                 for i in range(reg.size):
-                    combos_np[reg.combo_id, i] = F.sub_np(
-                        combos_np[reg.combo_id, i],
+                    corr[reg.combo_id, i] = F.add_np(
+                        corr[reg.combo_id, i],
                         F.ext_mul_np(cur, coeff_u[cur_pos + i]))
                 cur = F.ext_mul_np(cur, mix)
                 cur_pos += reg.size
             for _ in range(CHECK_SIZE):
-                combos_np[combo_count, 0] = F.sub_np(
-                    combos_np[combo_count, 0],
+                corr[combo_count, 0] = F.add_np(
+                    corr[combo_count, 0],
                     F.ext_mul_np(cur, coeff_u[cur_pos]))
                 cur_pos += 1
                 cur = F.ext_mul_np(cur, mix)
-            combos = jnp.asarray(combos_np)
+            combos = hal.combos_subtract_head(combos, jnp.asarray(corr))
 
         # combos_divide: exact division by each (x - z*back_one^back), all
         # combos per level batched into one device dispatch + one readback
