@@ -110,6 +110,57 @@ def guest_bigint(rounds: int) -> bytes:
     return a.link()
 
 
+SHA256_IV = bytes.fromhex(
+    "6a09e667bb67ae853c6ef372a54ff53a510e527f9b05688c1f83d9ab5be0cd19")
+
+
+def sha2_iter_expected(iters: int) -> bytes:
+    """Host model of guest_sha2_iter: digest_{i+1} = sha256(digest_i)."""
+    import hashlib
+
+    d = b"\0" * 32
+    for _ in range(iters):
+        d = hashlib.sha256(d).digest()
+    return d
+
+
+def guest_sha2_iter(iters: int) -> bytes:
+    """Iterated SHA-256 over the previous digest via the SHA accelerator
+    ecall (v1 ABI t0=3 -> v1compat kernel -> machine SHA2 ecall; reference
+    benchmarks/methods/guest/src/bin/iter_sha2.rs semantics).
+
+    Each round compresses one padded 64-byte block (32 digest bytes +
+    0x80 + zeros + bit length 256) from the standard IV, then copies the
+    output state into the block for the next round."""
+    from risc0_tpu.zkvm.guest import Asm
+
+    a = Asm()
+    # block: digest (8 words) ++ SHA padding for a 32-byte message
+    pad = b"\x80" + b"\0" * 29 + (256).to_bytes(2, "big")
+    block = a.put_data(b"\0" * 32 + pad, align=8)
+    iv = a.put_data(SHA256_IV, align=8)
+    out = a.put_data(b"\0" * 32, align=8)
+    wtok = _tok(a, "SYS_WRITE")
+    a.li("s2", iters)
+    a.label("round")
+    a.li("t0", 3)              # v1 ecall table: sha
+    a.li("a0", out)            # out_state
+    a.li("a1", iv)             # in_state (fresh IV per round)
+    a.li("a2", block)          # block1
+    a.li("a3", (block[0], block[1] + 32))   # block2 (contiguous)
+    a.li("a4", 1)              # one 64-byte block
+    a.ecall()
+    for i in range(8):         # digest -> block for the next round
+        a.lw("t1", "a0", 4 * i)
+        a.sw("a2", "t1", 4 * i)
+    a.addi("s2", "s2", -1)
+    a.bne("s2", "zero", "round")
+    # emit the final digest to stdout so hosts can check vs hashlib
+    a.syscall("SYS_WRITE", wtok, 0, 0, args=[1, out, 32])
+    a.halt(0)
+    return a.link()
+
+
 def guest_keccak(rounds: int) -> bytes:
     """sys_keccak PERMUTE calls (coprocessor batching path)."""
     from risc0_tpu.zkvm.guest import Asm
@@ -134,6 +185,7 @@ GUESTS = {
     "memcpy": lambda: (guest_memcpy(1024, 20), b""),
     "bigint": lambda: (guest_bigint(50), b""),
     "keccak": lambda: (guest_keccak(20), b""),
+    "sha2-iter": lambda: (guest_sha2_iter(500), b""),
 }
 
 
