@@ -80,7 +80,8 @@ def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
     cycles = res["rows"]
 
     with perf.scope("encode_host"):
-        data_m = F.encode_np(res["data"])
+        # only the 90-word globals encode on host (header needs them);
+        # the big data/accum matrices encode on device inside the commit
         global_m = F.encode_np(res["global"])
         code_m = np.zeros((1, cycles), np.uint32)  # zeroized code group
 
@@ -101,17 +102,17 @@ def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
     with perf.scope("to_device.code"):
         code_d = jnp.asarray(code_m)
     with perf.scope("to_device.data"):
-        data_d = jnp.asarray(data_m)
+        data_d = jnp.asarray(res["data"])   # standard form; device-encoded
     prover.commit_group(REGISTER_GROUP_CODE, code_d)
-    prover.commit_group(REGISTER_GROUP_DATA, data_d)
+    prover.commit_group(REGISTER_GROUP_DATA, data_d, encode=True)
 
     mix_m = np.array([iop.random_elem() for _ in range(REGCOUNT_MIX)],
                      np.uint32)
     with perf.scope("witgen_accum"):
         accum = witgen_accum(res, F.decode_np(mix_m))
     with perf.scope("to_device.accum"):
-        accum_d = jnp.asarray(F.encode_np(accum))
-    prover.commit_group(REGISTER_GROUP_ACCUM, accum_d)
+        accum_d = jnp.asarray(accum)        # standard form; device-encoded
+    prover.commit_group(REGISTER_GROUP_ACCUM, accum_d, encode=True)
 
     if use_jit:
         hal_obj = Rv32imCircuitHal(circuit)

@@ -60,29 +60,33 @@ _U64 = np.uint64
 # Host (numpy) ops — uint64 intermediates, Montgomery form uint32 arrays
 # ---------------------------------------------------------------------------
 
+# The host ops below intentionally wrap uint64 intermediates (REDC's
+# (-o64) & mask step); a per-call np.errstate context costs ~5us which
+# dominated the transcript math (r3 profile: 812k __enter__ calls = 1.5s
+# per prove), so integer-overflow warnings are silenced process-wide here.
+np.seterr(over="ignore")
+
+
 def mul_np(a, b):
     """Montgomery product of uint32 arrays (both in Montgomery form)."""
-    with np.errstate(over="ignore"):
-        a = np.asarray(a, _U64)
-        b = np.asarray(b, _U64)
-        o64 = a * b
-        low = (-o64) & _U64(0xFFFFFFFF)
-        red = (_U64(M) * low) & _U64(0xFFFFFFFF)
-        o64 = o64 + red * _U64(P)
-        ret = (o64 >> _U64(32)).astype(_U64)
-        return np.where(ret >= P, ret - _U64(P), ret).astype(_U32)
+    a = np.asarray(a, _U64)
+    b = np.asarray(b, _U64)
+    o64 = a * b
+    low = (-o64) & _U64(0xFFFFFFFF)
+    red = (_U64(M) * low) & _U64(0xFFFFFFFF)
+    o64 = o64 + red * _U64(P)
+    ret = (o64 >> _U64(32)).astype(_U64)
+    return np.where(ret >= P, ret - _U64(P), ret).astype(_U32)
 
 
 def add_np(a, b):
-    with np.errstate(over="ignore"):
-        x = np.asarray(a, _U64) + np.asarray(b, _U64)
-        return np.where(x >= P, x - _U64(P), x).astype(_U32)
+    x = np.asarray(a, _U64) + np.asarray(b, _U64)
+    return np.where(x >= P, x - _U64(P), x).astype(_U32)
 
 
 def sub_np(a, b):
-    with np.errstate(over="ignore"):
-        x = np.asarray(a, _U64) + _U64(P) - np.asarray(b, _U64)
-        return np.where(x >= P, x - _U64(P), x).astype(_U32)
+    x = np.asarray(a, _U64) + _U64(P) - np.asarray(b, _U64)
+    return np.where(x >= P, x - _U64(P), x).astype(_U32)
 
 
 def neg_np(a):
@@ -163,6 +167,21 @@ def ext_pow_np(a, e: int):
         a = ext_mul_np(a, a)
         e >>= 1
     return result
+
+
+def ext_powers_np(x, n: int):
+    """(4,) -> (n, 4) powers x^0..x^{n-1} (Montgomery), by doubling —
+    O(log n) batched ext muls instead of n sequential scalar ones."""
+    out = np.zeros((max(n, 1), 4), _U32)
+    out[0, 0] = R % P  # ONE
+    cur = np.asarray(x, _U32)
+    length = 1
+    while length < n:
+        k = min(length, n - length)
+        out[length : length + k] = ext_mul_np(out[:k], cur[None, :])
+        cur = ext_mul_np(cur, cur)
+        length *= 2
+    return out
 
 
 def from_subfield_np(a):

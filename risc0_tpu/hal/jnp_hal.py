@@ -387,7 +387,8 @@ def _fold_tree_p2(leaves, shard: bool = False):
     return tuple(layers)
 
 
-def _commit_pipeline_p2(witness, zk: bool = True, use_pallas: bool = False):
+def _commit_pipeline_p2(witness, zk: bool = True, use_pallas: bool = False,
+                        encode: bool = False):
     """Fused group commit (Poseidon2 suite): iNTT -> zk-shift -> 4x LDE ->
     leaf hashes in ONE compiled graph / ONE device dispatch, then the
     shared fold tree (the per-layer jit dispatches were ~20 compiles per
@@ -401,7 +402,7 @@ def _commit_pipeline_p2(witness, zk: bool = True, use_pallas: bool = False):
     shard = _SHARD["mesh"] is not None
     coeffs_nat, evaluated, leaves = _commit_leaves_p2(
         witness, zk, use_pallas and not shard, shard=shard,
-        pallas_ntt=_use_pallas_ntt())
+        pallas_ntt=_use_pallas_ntt(), encode=encode)
     return (coeffs_nat, evaluated, leaves) + _fold_tree_p2(leaves,
                                                            shard=shard)
 
@@ -421,9 +422,15 @@ def _use_pallas_ntt() -> bool:
 
 
 @partial(jax.jit, static_argnames=("zk", "use_pallas", "shard",
-                                   "pallas_ntt"))
+                                   "pallas_ntt", "encode"))
 def _commit_leaves_p2(witness, zk: bool = True, use_pallas: bool = False,
-                      shard: bool = False, pallas_ntt: bool = False):
+                      shard: bool = False, pallas_ntt: bool = False,
+                      encode: bool = False):
+    if encode:
+        # standard-form witness straight off the host witgen: Montgomery-
+        # encode on device (mont_mul by R^2) instead of a host-side pass
+        # over the full matrix before transfer
+        witness = F.mul(witness, jnp.uint32(F.R2))
     if pallas_ntt and not shard:
         from .pallas import ntt as pntt
 
@@ -467,16 +474,21 @@ def _commit_leaves_p2(witness, zk: bool = True, use_pallas: bool = False,
     return coeffs_nat, evaluated, leaves
 
 
-def commit_pipeline(witness, suite_name: str = "poseidon2", zk: bool = True):
+def commit_pipeline(witness, suite_name: str = "poseidon2", zk: bool = True,
+                    encode: bool = False):
     """Fused commit path; falls back to per-op calls for non-device suites.
 
-    Returns (coeffs_nat, evaluated, layers_list).
+    Returns (coeffs_nat, evaluated, layers_list).  encode=True takes a
+    standard-form witness and Montgomery-encodes on device.
     """
     if suite_name == "poseidon2":
         rows4 = witness.shape[-1] * 4
         use_pallas = (p2._use_pallas() and rows4 >= 512 and rows4 % 512 == 0)
-        out = _commit_pipeline_p2(witness, zk=zk, use_pallas=use_pallas)
+        out = _commit_pipeline_p2(witness, zk=zk, use_pallas=use_pallas,
+                                  encode=encode)
         return out[0], out[1], list(out[2:])
+    if encode:
+        witness = jnp.asarray(F.encode_np(np.asarray(witness)))
     coeffs = make_coeffs(witness, zk_shift=zk)
     evaluated = expand_evaluate(coeffs, 2)
     coeffs_nat = ntt.bit_reverse(coeffs)

@@ -153,8 +153,13 @@ def unpadded_hash_np(elems: np.ndarray) -> np.ndarray:
     (Montgomery words).
     """
     elems = np.asarray(elems, np.uint32).ravel()
-    state = np.zeros(CELLS, np.uint32)
     n = len(elems)
+    if n >= 512:
+        # long absorbs (coeff_u / final-FRI commits) run as ONE device
+        # dispatch via the scanned sponge — the sequential host sponge was
+        # ~6.6ms per permutation (r3 profile: 1.7s/prove)
+        return np.asarray(_hash_rows_impl(elems[:, None]))[0].copy()
+    state = np.zeros(CELLS, np.uint32)
     full, rem = divmod(n, CELLS_RATE)
     for i in range(full):
         state[:CELLS_RATE] = elems[i * CELLS_RATE : (i + 1) * CELLS_RATE]

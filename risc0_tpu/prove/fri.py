@@ -32,6 +32,20 @@ class _ProveRound:
         self.coeffs = hal.fri_fold(coeffs, fold_mix)  # (4, size/16)
 
 
+import jax
+
+
+@jax.jit
+def _final_and_digest(coeffs):
+    """bit-reverse the final FRI coeffs and sponge-hash them in one
+    dispatch; returns [final.ravel() | digest(8)]."""
+    from ..hash import poseidon2 as p2
+
+    final = ntt.bit_reverse(coeffs)
+    digest = p2._hash_rows_impl(final.reshape(-1)[:, None])[0]
+    return jnp.concatenate([final.reshape(-1), digest])
+
+
 def fri_prove(iop, final_poly_coeffs, inner):
     """final_poly_coeffs: (4, cycles) planar bit-reversed ext poly.
 
@@ -48,10 +62,17 @@ def fri_prove(iop, final_poly_coeffs, inner):
             rnd = _ProveRound(iop, coeffs)
             rounds.append(rnd)
             coeffs = rnd.coeffs
-        # final coefficients in natural order, planar base-elem layout
-        final = np.asarray(ntt.bit_reverse(coeffs))
+        # final coefficients in natural order + their digest, ONE readback
+        if iop.suite.name == "poseidon2" and not isinstance(
+                coeffs, np.ndarray):
+            flat = np.asarray(_final_and_digest(coeffs))
+            final = flat[:-8].reshape(coeffs.shape)
+            digest = flat[-8:]
+        else:
+            final = np.asarray(ntt.bit_reverse(coeffs))
+            digest = iop.suite.hash_elem_slice(final.ravel())
     iop.write_field_elems(final)
-    iop.commit(iop.suite.hash_elem_slice(final.ravel()))
+    iop.commit(digest)
 
     # Queries: the RNG advances only on draws (writes never mix), so drawing
     # all positions up front matches the reference's interleaved schedule and

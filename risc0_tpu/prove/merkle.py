@@ -35,13 +35,31 @@ class MerkleTreeProver:
         # precomputed by the fused commit pipeline (hal.commit_pipeline)
         self.layers = (layers if layers is not None
                        else hal.merkle_layers(matrix, suite_name))
-        self.root = np.asarray(self.layers[-1][0])
+        self._root = None
+
+    @property
+    def root(self):
+        if self._root is None:
+            self._root = np.asarray(self.layers[-1][0])
+        return self._root
 
     def commit(self, iop):
         # top layer wholesale (reference prove/merkle.rs:84-90): nodes with
-        # virtual heap indices [top_size, 2*top_size)
+        # virtual heap indices [top_size, 2*top_size); ONE readback covers
+        # the top layer AND the root (each device->host hop is ~80ms
+        # through the relay)
+        import jax.numpy as jnp
+
         top_level = self.num_layers - (self.top_size.bit_length() - 1)
-        top = np.asarray(self.layers[top_level])  # (top_size, 8)
+        if self._root is None and \
+                not isinstance(self.layers[-1], np.ndarray):
+            fused = np.asarray(jnp.concatenate(
+                [jnp.asarray(self.layers[top_level]).reshape(-1),
+                 jnp.asarray(self.layers[-1]).reshape(-1)]))
+            top = fused[: self.top_size * 8].reshape(self.top_size, 8)
+            self._root = fused[self.top_size * 8 :]
+        else:
+            top = np.asarray(self.layers[top_level])
         iop.write_digests(top)
         iop.commit(self.root)
 
@@ -68,15 +86,41 @@ class MerkleTreeProver:
         import jax.numpy as jnp
 
         pos = np.asarray(positions, np.int64)
-        cols = np.asarray(self.matrix[:, jnp.asarray(pos)])  # (cols, Q)
-        uncles = []  # per level: (Q, 8)
+        if isinstance(self.matrix, np.ndarray):  # host-suite trees
+            cols = self.matrix[:, pos]
+            uncles = []
+            v = pos + self.rows
+            level = 0
+            while (v >= 2 * self.top_size).any():
+                idxs = (v ^ 1) - (self.rows >> level)
+                uncles.append(np.asarray(self.layers[level])[idxs])
+                v //= 2
+                level += 1
+            return _PrefetchedProofs(cols, uncles)
+        # ONE device gather + ONE readback covers the opened columns and
+        # all uncle digests across levels (np.asarray(layers[level]) pulled
+        # whole leaf layers to host — 128MB/group at po2=20 — and each
+        # extra device->host hop is ~80ms through the relay)
+        q = len(pos)
+        cols_d = self.matrix[:, jnp.asarray(pos)]  # (cols, Q) device
+        gathered = []  # per level: (Q, 8) device
         v = pos + self.rows
         level = 0
         while (v >= 2 * self.top_size).any():
             idxs = (v ^ 1) - (self.rows >> level)
-            uncles.append(np.asarray(self.layers[level])[idxs])
+            gathered.append(jnp.asarray(self.layers[level])[
+                jnp.asarray(idxs)])
             v //= 2
             level += 1
+        parts = [jnp.asarray(cols_d).reshape(-1)] + \
+            [g.reshape(-1) for g in gathered]
+        flat = np.asarray(jnp.concatenate(parts))
+        cols = flat[: self.cols * q].reshape(self.cols, q)
+        off = self.cols * q
+        uncles = []
+        for _ in gathered:
+            uncles.append(flat[off : off + q * 8].reshape(q, 8))
+            off += q * 8
         return _PrefetchedProofs(cols, uncles)
 
 

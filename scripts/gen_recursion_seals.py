@@ -36,19 +36,28 @@ def main():
     seal = np.load(os.path.join(REPO, "tests/data/rv32im_seal_po2_14.npy"))
     sr = SegmentReceipt(seal=seal, index=0, hashfn="poseidon2",
                         claim=decode_claim(seal))
+    def save(receipt, stem):
+        np.save(os.path.join(REPO, f"tests/data/{stem}.npy"),
+                np.asarray(receipt.seal, np.uint32))
+        proof = receipt.control_inclusion_proof
+        np.savez(os.path.join(REPO, f"tests/data/{stem}.meta.npz"),
+                 control_id=np.asarray(receipt.control_id, np.uint32),
+                 control_root=np.asarray(receipt.control_root, np.uint32),
+                 incl_index=np.asarray(proof["index"]),
+                 incl_digests=np.stack([np.asarray(d, np.uint32)
+                                        for d in proof["digests"]]))
+
     t0 = time.time()
     receipt = lift(sr)
     print(f"lift: {time.time()-t0:.1f}s seal_words={len(receipt.seal)}")
-    np.save(os.path.join(REPO, "tests/data/recursion_seal_lift14.npy"),
-            np.asarray(receipt.seal, np.uint32))
+    save(receipt, "recursion_seal_lift14")
 
     if a.p254:
         t0 = time.time()
         p254 = identity_p254(receipt)
         print(f"identity_p254: {time.time()-t0:.1f}s "
               f"seal_words={len(p254.seal)}")
-        np.save(os.path.join(REPO, "tests/data/p254_seal_identity.npy"),
-                np.asarray(p254.seal, np.uint32))
+        save(p254, "p254_seal_identity")
     print("done")
 
 
