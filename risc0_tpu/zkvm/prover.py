@@ -31,13 +31,17 @@ class ProverOpts:
     receipt_kind: str = "composite"  # composite | succinct | groth16
     max_segment_po2: int = 22
     dev_mode: bool = field(default_factory=is_dev_mode)
-    # External Groth16 prover hook for shrink_wrap (SNARK proving runs
-    # out-of-process, like the reference's groth16_proof docker flow):
-    # a callable taking the circom witness JSON string and returning the
-    # 256-byte seal, {"seal": hex}, or snarkjs proof JSON.  When None,
-    # the RISC0_SNARK_PROVER env var names a shell command with the same
-    # stdin/stdout contract.
+    # Groth16 prover for shrink_wrap.  Default (None): the in-process
+    # prover (groth16/wrap.py, stark_verify R1CS + cached dev-ceremony
+    # CRS) — unless RISC0_SNARK_PROVER names an external shell command
+    # with the reference contract (circom stark_verify witness JSON on
+    # stdin; 256-byte seal, {"seal": hex}, or snarkjs proof JSON on
+    # stdout — the docker/rapidsnark flow of groth16/src/prove/docker.rs).
+    # "builtin" forces the in-process prover; a callable acts like the
+    # shell hook.
     snark_prover: object | None = None
+    # threads for the builtin Groth16 MSMs/CRS (0 = all cores)
+    snark_threads: int = 0
 
 
 @dataclass
@@ -261,10 +265,8 @@ class ProverImpl(ProverServer):
             wrapped = self.shrink_wrap(succinct)
             if not isinstance(wrapped, Groth16Receipt):
                 raise NotImplementedError(
-                    "receipt kind groth16 needs an external SNARK prover: "
-                    "set ProverOpts.snark_prover or RISC0_SNARK_PROVER "
-                    "(shrink_wrap produced only the identity_p254 wrap "
-                    "input)")
+                    "shrink_wrap did not produce a Groth16Receipt "
+                    "(external SNARK prover returned the wrap input?)")
             receipt = Receipt(InnerReceipt("groth16", wrapped),
                               session.journal)
         else:
@@ -380,18 +382,16 @@ class ProverImpl(ProverServer):
         return recursion_driver.identity_p254(receipt)
 
     def shrink_wrap(self, receipt):
-        """SuccinctReceipt -> SNARK wrap (reference prove/mod.rs
+        """SuccinctReceipt -> Groth16Receipt (reference prove/mod.rs
         shrink_wrap + the r0vm ShrinkWrap task): re-prove under the
-        poseidon254 suite via the identity predicate, then — when a SNARK
-        prover is configured (ProverOpts.snark_prover, or
-        RISC0_SNARK_PROVER naming a command that reads the circom
-        stark_verify witness JSON on stdin and writes the proof on
-        stdout) — run it over the seal-to-json payload and self-verify
-        the resulting Groth16Receipt with the BN254 pairing verifier.
-        The external prover must prove the reference stark_verify circuit
-        (ceremony verifying key); without one, the poseidon254 identity
-        receipt (the wrap input) is returned, as SNARK proving stays
-        external by design."""
+        poseidon254 suite via the identity predicate, then Groth16-prove
+        the stark_verify circuit over the resulting seal.  Default is the
+        in-process prover (groth16/wrap.py; CRS generated on first use
+        and cached); an external prover (ProverOpts.snark_prover, or
+        RISC0_SNARK_PROVER naming a command with the reference's
+        witness-JSON-in / proof-out contract) targets the reference
+        circom circuit + ceremony key instead.  Either way the result is
+        self-verified with the BN254 pairing verifier."""
         from ..groth16.seal_to_json import to_json
 
         p254 = self.identity_p254(receipt)
@@ -400,10 +400,20 @@ class ProverImpl(ProverServer):
             return to_json(np.asarray(p254.seal, np.uint32))
 
         hook = self.opts.snark_prover
-        if hook is None:
-            cmd = os.environ.get("RISC0_SNARK_PROVER")
+        if hook is None or hook == "builtin":
+            cmd = None if hook == "builtin" else \
+                os.environ.get("RISC0_SNARK_PROVER")
             if not cmd:
-                return p254
+                # builtin in-process Groth16 prover (stark_verify R1CS +
+                # dev-ceremony CRS, groth16/wrap.py); receipts carry the
+                # generated verifying key via verifier_parameters
+                from ..groth16 import wrap as g16wrap
+
+                g, params = g16wrap.wrap(p254, n_threads=self.opts.snark_threads)
+                ctx = self._verifier_ctx()
+                ctx.groth16_params = params
+                g.verify_integrity(ctx)  # self-check
+                return g
             import subprocess
 
             r = subprocess.run(cmd, shell=True,
