@@ -124,6 +124,40 @@ class Asm:
         """mem[rs1+imm] <- rs2"""
         self.emit(_s(REG[rs1], REG[rs2], imm, 2))
 
+    def and_(self, rd, rs1, rs2):
+        self.emit(_r(REG[rd], REG[rs1], REG[rs2], 7, 0, 0x33))
+
+    def or_(self, rd, rs1, rs2):
+        self.emit(_r(REG[rd], REG[rs1], REG[rs2], 6, 0, 0x33))
+
+    def xor(self, rd, rs1, rs2):
+        self.emit(_r(REG[rd], REG[rs1], REG[rs2], 4, 0, 0x33))
+
+    def sll(self, rd, rs1, rs2):
+        self.emit(_r(REG[rd], REG[rs1], REG[rs2], 1, 0, 0x33))
+
+    def srl(self, rd, rs1, rs2):
+        self.emit(_r(REG[rd], REG[rs1], REG[rs2], 5, 0, 0x33))
+
+    def andi(self, rd, rs1, imm):
+        self.emit(_i(REG[rd], REG[rs1], imm, 7, 0x13))
+
+    def slli(self, rd, rs1, sh):
+        self.emit(_i(REG[rd], REG[rs1], sh & 31, 1, 0x13))
+
+    def srli(self, rd, rs1, sh):
+        self.emit(_i(REG[rd], REG[rs1], sh & 31, 5, 0x13))
+
+    def sltu(self, rd, rs1, rs2):
+        self.emit(_r(REG[rd], REG[rs1], REG[rs2], 3, 0, 0x33))
+
+    def lbu(self, rd, rs1, imm):
+        self.emit(_i(REG[rd], REG[rs1], imm, 4, 0x03))
+
+    def sb(self, rs1, rs2, imm):
+        """mem[rs1+imm] <- low byte of rs2"""
+        self.emit(_s(REG[rs1], REG[rs2], imm, 0))
+
     def ecall(self):
         self.emit(0x73)
 
