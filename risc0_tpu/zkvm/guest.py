@@ -164,6 +164,10 @@ class Asm:
     def jal(self, rd, label):
         self.emit(("jal", REG[rd], label, len(self.insns)))
 
+    def jalr(self, rd, rs1, imm=0):
+        """rd <- pc+4; pc <- rs1+imm (subroutine call/return)."""
+        self.emit(_i(REG[rd], REG[rs1], imm, 0, 0x67))
+
     def beq(self, rs1, rs2, label):
         self.emit(("beq", REG[rs1], REG[rs2], label, len(self.insns), 0))
 

@@ -114,6 +114,18 @@ class GuestEnv:
     def exit(self, user_exit: int = 0, out_digest_tok=None):
         self.a.halt(user_exit=user_exit, out_digest_token=out_digest_tok)
 
+    def verify_integrity(self, claim_tok, root_tok):
+        """env::verify_integrity: a RESOLVED assumption — the host must
+        hold a receipt for (claim_digest, control_root) in
+        `ExecutorEnv.assumptions` (reference env::verify_assumption via
+        syscall/verify_integrity.rs); exec raises if none is found."""
+        a = self.a
+        buf = a.put_data(b"\0" * 64, align=4)
+        self.copy_words(buf, claim_tok, 8)
+        self.copy_words((buf[0], buf[1] + 32), root_tok, 8)
+        a.syscall("SYS_VERIFY_INTEGRITY", self._tok("SYS_VERIFY_INTEGRITY"),
+                  0, 0, args=[buf, 64])
+
     def verify_integrity2(self, claim_tok, root_tok):
         """env::verify_integrity2: registers (claim_digest, control_root)
         as an assumption the host must resolve (syscall verify2)."""

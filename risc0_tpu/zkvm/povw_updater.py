@@ -9,14 +9,15 @@ slot was empty, and commits a `LogBuilderJournal` binding
 accounting contract.
 
 The reference runs these checks inside a prebuilt Rust guest
-(risc0-povw-log-builder.bin) so the state transition itself is proven;
-that guest is a compiled artifact we do not reproduce. Here the
-identical transition checks run host-side (`apply_update`), and the
-journal receipt is produced by a pluggable `journal_prover` — dev-mode
-FakeReceipt by default, a guest-backed prover when one is registered.
-Work receipts ARE still cryptographically verifiable (they are the
-framework's WorkClaim succinct receipts); only the log-update journal
-receipt is dev-mode without a guest.
+(risc0-povw-log-builder.bin) so the state transition itself is proven.
+Here the default `journal_prover` is the framework's OWN log-builder
+guest (zkvm/povw_guest.py, assembled rv32im): the whole transition —
+WorkClaim digests, assumption verification, non-inclusion proofs, tree
+insertion, journal — re-runs inside the zkVM and the journal is what the
+guest committed; `prove_update` cross-checks it against the host-side
+`apply_update` replay.  Pass `LogBuilderGuestProver(prover=...)` to get
+a cryptographic receipt over the guest session, or any plain callable
+`(journal_bytes, image_id) -> receipt` to stub it (scheduler tests).
 """
 
 from __future__ import annotations
@@ -166,12 +167,17 @@ class WorkLogUpdateProver:
 
         commit, total = initial_commit, 0
         snapshot = dict(self.work_log.jobs)
+        guest_updates = []
         try:
             for _receipt, wc in claims:
                 work = wc.work
                 job_number = work.nonce_min.job
                 proof = self.work_log.prove_add(
                     job_number, Job(work.nonce_max.segment))
+                guest_updates.append((
+                    wc._digest_of(wc.claim).tobytes(),
+                    work.nonce_min.to_bytes(), work.nonce_max.to_bytes(),
+                    work.value, proof.path))
                 commit, value = apply_update(
                     commit, WorkLogUpdate(wc, proof))
                 total += value
@@ -181,6 +187,32 @@ class WorkLogUpdateProver:
             raise
         if commit != self.work_log.commit():
             raise WorkError("update commitment mismatch")  # unreachable
+
+        if self.journal_prover is None:
+            # default = the in-zkVM log builder (reference parity: the
+            # update transition is always run in the guest; pass an
+            # explicit callable to override, e.g. for scheduler stubs)
+            from .povw_guest import LogBuilderGuestProver
+
+            self.journal_prover = LogBuilderGuestProver()
+        if getattr(self.journal_prover, "is_guest_prover", False):
+            # in-zkVM log builder: the guest re-runs the whole transition
+            # (claim digests, assumption verification, non-inclusion
+            # proofs, tree update) and journals the result itself
+            self.image_id = np.asarray(self.journal_prover.image_id(),
+                                       np.uint32)
+            receipt = self.journal_prover.prove(
+                log_id=self.log_id, initial_commit=initial_commit,
+                updates=guest_updates,
+                work_receipts=[r for r, _ in claims])
+            journal = LogBuilderJournal.decode(receipt.journal)
+            if (journal.updated_commit != commit
+                    or journal.update_value != total
+                    or journal.initial_commit != initial_commit):
+                raise WorkError(
+                    "guest journal disagrees with the host transition")
+            self.continuation = (journal, receipt)
+            return journal, receipt
 
         journal = LogBuilderJournal(
             work_log_id=self.log_id,

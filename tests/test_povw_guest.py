@@ -1,0 +1,161 @@
+"""In-zkVM PoVW log builder (zkvm/povw_guest.py) — the work-log update
+state transition executed (and provably provable) inside the zkVM,
+replacing the dev-mode host-side journal (reference
+risc0/povw/guests/log-builder + povw/src/guest.rs contract)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from risc0_tpu.zkvm.povw import WorkError
+from risc0_tpu.zkvm.povw_guest import (LogBuilderGuestProver,
+                                       encode_update_input, log_builder_elf)
+from risc0_tpu.zkvm.povw_tree import Job, WorkLog
+from risc0_tpu.zkvm.povw_updater import LogBuilderJournal, WorkLogUpdateProver
+from risc0_tpu.zkvm.receipt import VerifierContext
+
+from test_povw_updater import LOG, _WorkReceipt
+
+
+def _guest_updater(**kw):
+    return WorkLogUpdateProver(
+        log_id=kw.pop("log_id", LOG),
+        journal_prover=LogBuilderGuestProver(),
+        verifier_ctx=VerifierContext(dev_mode=True), **kw)
+
+
+def _updates_for(receipts, tree=None):
+    """Host-side capture of the guest input records for direct
+    LogBuilderGuestProver.prove calls (negative tests)."""
+    tree = tree or WorkLog()
+    out = []
+    for r in receipts:
+        wc = r.claim
+        proof = tree.prove_add(wc.work.nonce_min.job,
+                               Job(wc.work.nonce_max.segment))
+        out.append((wc._digest_of(wc.claim).tobytes(),
+                    wc.work.nonce_min.to_bytes(),
+                    wc.work.nonce_max.to_bytes(), wc.work.value, proof.path))
+    return out
+
+
+def test_guest_journal_matches_host_transition():
+    """prove_update with the guest prover: the journal the GUEST commits
+    equals the host-computed transition (prove_update cross-checks and
+    raises otherwise), and chains across batches."""
+    prover = _guest_updater()
+    empty = prover.work_log.commit()
+    j1, r1 = prover.prove_update(
+        [_WorkReceipt(1, 30, 30 << 16), _WorkReceipt(2, 4, 4 << 16)])
+    assert j1.initial_commit == empty
+    assert j1.updated_commit == prover.work_log.commit()
+    assert j1.update_value == (30 << 16) + (4 << 16)
+    assert j1.work_log_id == LOG
+    # journal bytes round-trip and carry the guest's own image id
+    decoded = LogBuilderJournal.decode(r1.journal)
+    assert decoded.updated_commit == j1.updated_commit
+    assert np.array_equal(decoded.self_image_id,
+                          prover.journal_prover.image_id())
+
+    j2, _ = prover.prove_update([_WorkReceipt(3, 7, 7 << 16)])
+    assert j2.initial_commit == j1.updated_commit
+    assert j2.updated_commit == prover.work_log.commit()
+
+
+def test_guest_image_id_is_input_independent():
+    """The batch size is runtime data, so the image id (what the on-chain
+    contract pins) is one stable digest."""
+    import risc0_tpu.zkvm.povw_guest as pg
+
+    iid = LogBuilderGuestProver().image_id()
+    pg._ELF_CACHE = None  # force a re-assembly
+    assert np.array_equal(iid, LogBuilderGuestProver().image_id())
+
+
+def test_guest_rejects_tampered_noninclusion_proof():
+    gp = LogBuilderGuestProver()
+    r = _WorkReceipt(9, 5, 5 << 16)
+    tree = WorkLog()
+    empty = tree.commit()
+    (claim, nmin, nmax, value, path), = _updates_for([r], tree)
+    bad = list(path)
+    bad[3] = bytes(32)
+    with pytest.raises(WorkError, match="rejected"):
+        gp.prove(log_id=LOG, initial_commit=empty,
+                 updates=[(claim, nmin, nmax, value, bad)],
+                 work_receipts=[r])
+
+
+def test_guest_rejects_foreign_log_and_nonzero_start():
+    gp = LogBuilderGuestProver()
+    empty = WorkLog().commit()
+
+    r = _WorkReceipt(1, 5, 5 << 16, log=0xBEEF)  # nonce in another log
+    with pytest.raises(WorkError, match="rejected"):
+        gp.prove(log_id=LOG, initial_commit=empty,
+                 updates=_updates_for([r]), work_receipts=[r])
+
+    r2 = _WorkReceipt(1, 5, 5 << 16, start_segment=2)
+    with pytest.raises(WorkError, match="rejected"):
+        gp.prove(log_id=LOG, initial_commit=empty,
+                 updates=_updates_for([r2]), work_receipts=[r2])
+
+
+def test_guest_requires_resolvable_assumption():
+    """The guest env::verify of the WorkClaim digest must find a matching
+    host receipt — feeding records whose claim digest has no registered
+    assumption dies in the executor."""
+    gp = LogBuilderGuestProver()
+    r = _WorkReceipt(4, 3, 3 << 16)
+    updates = _updates_for([r])
+    with pytest.raises(RuntimeError, match="no receipt found"):
+        gp.prove(log_id=LOG, initial_commit=WorkLog().commit(),
+                 updates=updates, work_receipts=[])  # nothing registered
+
+
+def test_duplicate_job_rejected_by_chained_noninclusion():
+    """Inserting the same job twice cannot be proven: after the first
+    insert the slot is no longer the empty subtree, so the second
+    non-inclusion check fails IN-GUEST even if the host hands it the
+    original (stale) proof."""
+    gp = LogBuilderGuestProver()
+    r = _WorkReceipt(5, 3, 3 << 16)
+    wc = r.claim
+    tree = WorkLog()
+    empty = tree.commit()
+    proof = tree.prove_job_opening(5)
+    rec = (wc._digest_of(wc.claim).tobytes(), wc.work.nonce_min.to_bytes(),
+           wc.work.nonce_max.to_bytes(), wc.work.value, proof.path)
+    with pytest.raises(WorkError, match="rejected"):
+        gp.prove(log_id=LOG, initial_commit=empty, updates=[rec, rec],
+                 work_receipts=[r])
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RISC0_TPU_SLOW_TESTS"),
+    reason="full STARK prove of the log-builder guest segment (slow)")
+def test_log_builder_segment_proves_and_verifies():
+    """Prove the log-builder guest session for real: segment seal
+    verifies and the decoded claim binds this guest's image id."""
+    from risc0_tpu.circuit.rv32im.claim import decode_claim
+    from risc0_tpu.circuit.rv32im.prove import prove_segment
+    from risc0_tpu.circuit.rv32im.verify import verify_rv32im_seal
+    from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
+
+    gp = LogBuilderGuestProver()
+    r1, r2 = _WorkReceipt(1, 30, 30 << 16), _WorkReceipt(2, 4, 4 << 16)
+    updates = _updates_for([r1, r2])
+    data = encode_update_input(gp.image_id(), LOG, WorkLog().commit(),
+                               np.zeros(8, np.uint32), updates)
+    env = (ExecutorEnv(segment_po2=17).write_slice(data)
+           .add_assumption(r1).add_assumption(r2))
+    session = ExecutorImpl(env, log_builder_elf()).run()
+    assert session.exit_code == ("Halted", 0)
+    journal = LogBuilderJournal.decode(session.journal)
+    assert journal.update_value == (30 << 16) + (4 << 16)
+
+    seal = prove_segment(session.segments[0])
+    verify_rv32im_seal(seal)
+    claim = decode_claim(seal)
+    assert claim.exit_code.kind in ("Halted", "SystemSplit")
