@@ -71,6 +71,10 @@ def test_golden_succinct_seal_verifies():
 
 
 def test_golden_identity_p254_seal_verifies():
+    """The p254 wrap seal's output root is the INNER poseidon2 allowed
+    root (reference receipt/succinct.rs:182 inner_control_root), while
+    the outer params root is the singleton BN254 identity set."""
+    from risc0_tpu.circuit.recursion.predicates import own_control_ids
     from risc0_tpu.circuit.rv32im.claim import decode_claim
     from risc0_tpu.zkvm.receipt import SuccinctReceipt, VerifierContext
 
@@ -86,5 +90,7 @@ def test_golden_identity_p254_seal_verifies():
                                  "digests": meta["incl_digests"]},
         hashfn="poseidon254",
     )
+    _ids, p2_root = own_control_ids()
     receipt.verify_integrity(VerifierContext(
-        hashfn="poseidon254", control_root=receipt.control_root))
+        hashfn="poseidon254", control_root=receipt.control_root,
+        inner_control_root=p2_root))

@@ -173,8 +173,11 @@ def test_identity_p254_wrap_chain(rv32im_seal):
     assert wrapped.hashfn == "poseidon254"
     assert np.array_equal(wrapped.claim.digest(), inner.claim.digest())
     from risc0_tpu.circuit.recursion.predicates import identity_p254_control_id
+    from risc0_tpu.circuit.recursion.predicates import own_control_ids
+    _ids, p2_root = own_control_ids()
     ctx = VerifierContext(hashfn="poseidon254",
-                          control_root=wrapped.control_root)
+                          control_root=wrapped.control_root,
+                          inner_control_root=p2_root)
     wrapped.verify_integrity(ctx)
     blob = json.loads(to_json(wrapped.seal))
     assert len(blob["iop"]) > 1000
