@@ -114,7 +114,9 @@ class ExecutorEnv:
             claim = np.asarray(receipt.claim_digest(), np.uint32)
         elif hasattr(receipt, "claim"):
             c = receipt.claim
-            claim = np.asarray(c() if callable(c) else c.digest(), np.uint32)
+            c = c() if callable(c) else c
+            claim = np.asarray(c.digest() if hasattr(c, "digest") else c,
+                               np.uint32)
         else:
             claim = np.asarray(receipt, np.uint32)
         root = getattr(receipt, "control_root", None)

@@ -254,11 +254,30 @@ def _fake_p254(monkeypatch):
     return _P254
 
 
-def test_shrink_wrap_without_snark_prover_returns_p254(monkeypatch):
-    p254 = _fake_p254(monkeypatch)
+def test_shrink_wrap_without_snark_prover_uses_builtin(monkeypatch):
+    """With no external hook configured, shrink_wrap runs the in-process
+    Groth16 prover (groth16/wrap.py) and self-verifies its receipt —
+    the default is a working SNARK path, not a p254 passthrough."""
+    from risc0_tpu.groth16 import wrap as g16wrap
+    from risc0_tpu.zkvm.receipt import (Groth16Receipt,
+                                        Groth16ReceiptVerifierParameters)
+
+    p254_cls = _fake_p254(monkeypatch)
     monkeypatch.delenv("RISC0_SNARK_PROVER", raising=False)
+    called = {}
+
+    def fake_wrap(p254, n_threads=0):
+        called["p254"] = p254
+        g = Groth16Receipt(seal=b"\x00" * 256, claim=p254.claim,
+                           verifier_parameters=np.zeros(8, np.uint32))
+        return g, Groth16ReceiptVerifierParameters.default()
+
+    monkeypatch.setattr(g16wrap, "wrap", fake_wrap)
+    monkeypatch.setattr(Groth16Receipt, "verify_integrity",
+                        lambda self, ctx: None)
     out = ProverImpl().shrink_wrap(object())
-    assert isinstance(out, p254)
+    assert isinstance(out, Groth16Receipt)
+    assert isinstance(called["p254"], p254_cls)
 
 
 def test_shrink_wrap_snark_hook_self_verifies(monkeypatch):
