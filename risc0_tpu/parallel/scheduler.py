@@ -61,6 +61,12 @@ class Task:
     # ride local disk/ICI instead of DCN (SURVEY §2.11); any worker may
     # still steal the task rather than idle.
     affinity: str | None = None
+    # telemetry: (trace_id, span_id) of the submitting job's span, so the
+    # worker-side task span parents to the job even across threads
+    # (reference actors/mod.rs OTel context propagation); submit time for
+    # the queue-wait histogram
+    trace_ctx: tuple | None = None
+    submit_ns: int = 0
 
 
 @dataclass
@@ -83,6 +89,13 @@ class Factory:
         self._cv = threading.Condition()
 
     def submit(self, task: Task):
+        from .. import telemetry
+
+        if task.trace_ctx is None:
+            task.trace_ctx = telemetry.tracer().ctx()
+        task.submit_ns = task.submit_ns or telemetry._now_ns()
+        telemetry.metrics().inc("risc0_tasks_submitted",
+                                kind=task.kind.value)
         with self._cv:
             self._tasks[task.kind].append(task)
             self._cv.notify_all()
@@ -154,27 +167,43 @@ class Worker:
     def _run(self):
         import time
 
-        from .. import log
+        from .. import log, telemetry
 
+        mx = telemetry.metrics()
         while not self._stop.is_set():
             task = self.factory.get_task(self.kinds, host=self.host)
             if task is None:
                 continue
+            if task.submit_ns:
+                mx.observe("risc0_task_queue_seconds",
+                           (telemetry._now_ns() - task.submit_ns) / 1e9,
+                           kind=task.kind.value)
             t0 = time.perf_counter()
-            try:
-                result = self.processor(task)
-                self.factory.task_done(TaskDone(task, result=result,
-                                                host=self.host))
-                log.event("task_done", worker=self.name,
-                          kind=task.kind.value, job=task.job_id,
-                          task=task.task_id,
-                          seconds=round(time.perf_counter() - t0, 4))
-            except Exception as e:  # propagate to the job
-                self.factory.task_done(TaskDone(task, error=e,
-                                                host=self.host))
-                log.event("task_failed", worker=self.name,
-                          kind=task.kind.value, job=task.job_id,
-                          task=task.task_id, error=str(e))
+            with telemetry.tracer().span(
+                    f"task:{task.kind.value}", parent=task.trace_ctx,
+                    job=task.job_id, task=task.task_id,
+                    worker=self.name) as sp:
+                try:
+                    result = self.processor(task)
+                    self.factory.task_done(TaskDone(task, result=result,
+                                                    host=self.host))
+                    dt = time.perf_counter() - t0
+                    mx.observe("risc0_task_run_seconds", dt,
+                               kind=task.kind.value, status="ok")
+                    log.event("task_done", worker=self.name,
+                              kind=task.kind.value, job=task.job_id,
+                              task=task.task_id, seconds=round(dt, 4))
+                except Exception as e:  # propagate to the job
+                    sp.span.status = "ERROR"
+                    sp.set(error=repr(e))
+                    self.factory.task_done(TaskDone(task, error=e,
+                                                    host=self.host))
+                    mx.observe("risc0_task_run_seconds",
+                               time.perf_counter() - t0,
+                               kind=task.kind.value, status="error")
+                    log.event("task_failed", worker=self.name,
+                              kind=task.kind.value, job=task.job_id,
+                              task=task.task_id, error=str(e))
 
 
 @dataclass
@@ -238,7 +267,26 @@ class ProofJob:
                                  task_id=task_id, affinity=affinity))
 
     def run(self):
-        """Run the DAG to completion; returns (session, final_receipt)."""
+        """Run the DAG to completion; returns (session, final_receipt).
+        The whole job runs under one root span; every task span parents
+        to it via Task.trace_ctx (reference actors/mod.rs OTel init)."""
+        import time
+
+        from .. import telemetry
+
+        t0 = time.perf_counter()
+        with telemetry.tracer().span("proof_job", job=self.job_id,
+                                     receipt_kind=self.receipt_kind,
+                                     povw=self.povw):
+            out = self._run_dag()
+        telemetry.metrics().inc("risc0_jobs_completed",
+                                kind=self.receipt_kind)
+        telemetry.metrics().observe("risc0_job_seconds",
+                                    time.perf_counter() - t0,
+                                    kind=self.receipt_kind)
+        return out
+
+    def _run_dag(self):
         from ..zkvm.claims import ExitCode
         from ..zkvm.receipt import segment_claim, session_segment_output
 

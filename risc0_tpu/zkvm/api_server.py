@@ -137,6 +137,16 @@ class Handler(BaseHTTPRequestHandler):
         if self.path == "/version":
             return self._json(200, {"risc0_tpu": "0.2",
                                     "compat_risc0": ["2.0", "3.0"]})
+        if self.path == "/metrics":
+            # Prometheus text exposition (reference r0vm OTLP metrics
+            # pipeline equivalent, actors/mod.rs:39-46)
+            from .. import telemetry
+            return self._bytes(200, telemetry.metrics().expose().encode())
+        if self.path == "/spans":
+            # recent completed spans, OTLP/JSON-shaped
+            from .. import telemetry
+            spans = [sp.to_otlp() for sp in telemetry.tracer().finished()]
+            return self._json(200, {"spans": spans[-500:]})
         if self.path == "/user/quotas":
             return self._json(200, {"exec_cycle_limit": 1 << 36,
                                     "max_parallelism": 4,
