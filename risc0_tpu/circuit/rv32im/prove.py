@@ -101,18 +101,17 @@ def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
 
     with perf.scope("to_device.code"):
         code_d = jnp.asarray(code_m)
-    with perf.scope("to_device.data"):
-        data_d = jnp.asarray(res["data"])   # standard form; device-encoded
     prover.commit_group(REGISTER_GROUP_CODE, code_d)
-    prover.commit_group(REGISTER_GROUP_DATA, data_d, encode=True)
+    # data stays a host array: the commit pipeline bulk-transfers small
+    # groups and STREAMS large ones chunk-by-chunk (hal chunked commit),
+    # overlapping host->device transfer with the NTT/LDE compute
+    prover.commit_group(REGISTER_GROUP_DATA, res["data"], encode=True)
 
     mix_m = np.array([iop.random_elem() for _ in range(REGCOUNT_MIX)],
                      np.uint32)
     with perf.scope("witgen_accum"):
         accum = witgen_accum(res, F.decode_np(mix_m))
-    with perf.scope("to_device.accum"):
-        accum_d = jnp.asarray(accum)        # standard form; device-encoded
-    prover.commit_group(REGISTER_GROUP_ACCUM, accum_d, encode=True)
+    prover.commit_group(REGISTER_GROUP_ACCUM, accum, encode=True)
 
     if use_jit:
         hal_obj = Rv32imCircuitHal(circuit)

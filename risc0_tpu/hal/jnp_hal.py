@@ -398,13 +398,87 @@ def _commit_pipeline_p2(witness, zk: bool = True, use_pallas: bool = False,
     Returns (coeffs_nat, evaluated, layers...) — layers[0] = leaf digests,
     layers[-1] = (1, 8) root.  Mirrors reference prove/prover.rs:38-48 +
     prove/merkle.rs:54-80 semantics.
+
+    Large groups (the rv32im data group at po2>=19) take the
+    column-chunked path: per-column NTT/LDE is exact under chunking, so
+    the transient working set shrinks from O(whole-group LDE ping-pong)
+    to O(chunk) — the difference between a po2=20 prove fitting in HBM
+    and RESOURCE_EXHAUSTED.  The witness may stay a host np.ndarray, in
+    which case chunks stream host->device inside the loop (overlapping
+    transfer with NTT compute) instead of one bulk transfer.
     """
     shard = _SHARD["mesh"] is not None
+    if not shard and _chunk_bytes(witness) > _CHUNK_THRESHOLD():
+        return _commit_pipeline_chunked_p2(witness, zk=zk,
+                                           use_pallas=use_pallas,
+                                           encode=encode)
+    if isinstance(witness, np.ndarray):
+        witness = jnp.asarray(witness)
     coeffs_nat, evaluated, leaves = _commit_leaves_p2(
         witness, zk, use_pallas and not shard, shard=shard,
         pallas_ntt=_use_pallas_ntt(), encode=encode)
     return (coeffs_nat, evaluated, leaves) + _fold_tree_p2(leaves,
                                                            shard=shard)
+
+
+def _chunk_bytes(witness) -> int:
+    """Evaluated-domain footprint of the group in bytes (cols x 4rows)."""
+    cols, rows = witness.shape
+    return cols * rows * INV_RATE * 4
+
+
+def _CHUNK_THRESHOLD() -> int:
+    import os
+
+    return int(os.environ.get("RISC0_TPU_COMMIT_CHUNK_BYTES",
+                              str(2 << 30)))
+
+
+@partial(jax.jit, static_argnames=("zk", "encode"), donate_argnums=(0,))
+def _chunk_ntt_p2(chunk, zk: bool = True, encode: bool = False):
+    """iNTT + zk-shift + 4x LDE for one column chunk (donated input)."""
+    if encode:
+        chunk = F.mul(chunk, jnp.uint32(F.R2))
+    coeffs = ntt.interpolate_ntt(chunk)
+    if zk:
+        coeffs = ntt.zk_shift(coeffs)
+    evaluated = ntt.evaluate_ntt(ntt.expand(coeffs, 2), 2)
+    return ntt.bit_reverse(coeffs), evaluated
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf, x, row):
+    return jax.lax.dynamic_update_slice(buf, x, (row, jnp.int32(0)))
+
+
+def _commit_pipeline_chunked_p2(witness, zk: bool = True,
+                                use_pallas: bool = False,
+                                encode: bool = False, chunk_cols: int = 32):
+    cols, rows = witness.shape
+    coeffs_nat = jnp.zeros((cols, rows), jnp.uint32)
+    evaluated = jnp.zeros((cols, rows * INV_RATE), jnp.uint32)
+    for c0 in range(0, cols, chunk_cols):
+        c1 = min(c0 + chunk_cols, cols)
+        if isinstance(witness, np.ndarray):
+            chunk = jnp.asarray(np.ascontiguousarray(witness[c0:c1]))
+        else:
+            chunk = jnp.array(witness[c0:c1])  # copy => donatable
+        cn, ev = _chunk_ntt_p2(chunk, zk=zk, encode=encode)
+        coeffs_nat = _write_rows(coeffs_nat, cn, jnp.int32(c0))
+        evaluated = _write_rows(evaluated, ev, jnp.int32(c0))
+    if use_pallas:
+        from .pallas import poseidon2 as pk
+
+        leaves = pk.hash_rows(evaluated)
+    else:
+        leaves = _hash_rows_jit(evaluated)
+    return (coeffs_nat, evaluated, leaves) + _fold_tree_p2(leaves,
+                                                           shard=False)
+
+
+@jax.jit
+def _hash_rows_jit(evaluated):
+    return p2._hash_rows_impl(evaluated)
 
 
 def _use_pallas_ntt() -> bool:
