@@ -36,6 +36,105 @@ def _elf(args) -> bytes:
     return data
 
 
+_GUEST_TMPL = '''\
+"""Guest for {name}: assembled rv32im (risc0_tpu.zkvm.guest_env).
+
+Reads input words, computes, journals the result.  Swap the body for
+your own logic; the env library provides read_slice / commit / exit
+plus raw Asm access (g.a) for arithmetic and control flow.
+"""
+
+from risc0_tpu.zkvm.guest_env import GuestEnv
+
+
+def build_guest() -> bytes:
+    g = GuestEnv()
+    a = g.a
+    a.li("sp", 0x200400)
+
+    inp = g.read_slice(8)           # two u32 words from the host
+    out = a.put_data(b"\\0" * 4)
+    a.li("t3", inp)
+    a.lw("t4", "t3", 0)
+    a.lw("t5", "t3", 4)
+    a.add("t4", "t4", "t5")         # result = x + y
+    a.li("t3", out)
+    a.sw("t3", "t4", 0)
+
+    dig = g.commit(out, 4)
+    g.exit(0, dig)
+    return g.link()
+'''
+
+_HOST_TMPL = '''\
+"""Host for {name}: execute the guest, prove the session, verify."""
+
+import os
+
+import jax
+
+jax.config.update("jax_platforms", os.environ.get("RISC0_EXAMPLE_PLATFORM",
+                                                  "cpu"))
+
+from guest import build_guest
+from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
+from risc0_tpu.zkvm.prover import ProverOpts, get_prover_server
+
+
+def main():
+    x, y = 7, 35
+    elf = build_guest()
+    env = ExecutorEnv(segment_po2=16).write_slice(
+        x.to_bytes(4, "little") + y.to_bytes(4, "little"))
+    executor = ExecutorImpl(env, elf)
+    image_id = executor.compute_image_id()
+    session = executor.run()
+    print("journal:", int.from_bytes(bytes(session.journal), "little"))
+
+    if os.environ.get("RISC0_REAL_PROVE") != "1":
+        os.environ["RISC0_DEV_MODE"] = "1"  # fast receipts while iterating
+    prover = get_prover_server(ProverOpts(receipt_kind="composite"))
+    info = prover.prove_session(session)
+    info.receipt.verify(image_id)
+    print("receipt verified:", info.receipt.inner.kind)
+
+
+if __name__ == "__main__":
+    main()
+'''
+
+_README_TMPL = '''\
+# {name}
+
+A risc0_tpu host+guest project (scaffolded by `risc0-tpu new`).
+
+    PYTHONPATH=<repo> python host.py                 # dev-mode receipt
+    RISC0_REAL_PROVE=1 PYTHONPATH=<repo> python host.py   # real STARK
+
+Edit `guest.py` for the in-zkVM program, `host.py` for input/receipt
+handling.  See the repo `examples/` directory for richer guests
+(sha, ecdsa, composition, keccak coprocessor, PoVW).
+'''
+
+
+def _scaffold(name: str, dest: str) -> int:
+    import os
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9_\-]+", name):
+        print(f"invalid project name: {name!r}", file=sys.stderr)
+        return 1
+    root = os.path.join(dest, name)
+    os.makedirs(root)
+    for fname, tmpl in (("guest.py", _GUEST_TMPL), ("host.py", _HOST_TMPL),
+                        ("README.md", _README_TMPL)):
+        with open(os.path.join(root, fname), "w") as f:
+            f.write(tmpl.format(name=name))
+    print(json.dumps({"created": root,
+                      "files": ["guest.py", "host.py", "README.md"]}))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="risc0-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -60,7 +159,14 @@ def main(argv=None):
                        "the client listener (reference `r0vm --port`)")
     p.add_argument("--port", type=int, required=True)
     p.add_argument("--host", default="127.0.0.1")
+    p = sub.add_parser("new", help="scaffold a host+guest project "
+                       "(reference `cargo risczero new`)")
+    p.add_argument("name")
+    p.add_argument("--dest", default=".")
     args = ap.parse_args(argv)
+
+    if args.cmd == "new":
+        return _scaffold(args.name, args.dest)
 
     if args.cmd == "serve":
         import time as _time

@@ -151,6 +151,19 @@ class Asm:
     def sltu(self, rd, rs1, rs2):
         self.emit(_r(REG[rd], REG[rs1], REG[rs2], 3, 0, 0x33))
 
+    # M extension (funct7=1)
+    def mul(self, rd, rs1, rs2):
+        self.emit(_r(REG[rd], REG[rs1], REG[rs2], 0, 1, 0x33))
+
+    def mulhu(self, rd, rs1, rs2):
+        self.emit(_r(REG[rd], REG[rs1], REG[rs2], 3, 1, 0x33))
+
+    def divu(self, rd, rs1, rs2):
+        self.emit(_r(REG[rd], REG[rs1], REG[rs2], 5, 1, 0x33))
+
+    def remu(self, rd, rs1, rs2):
+        self.emit(_r(REG[rd], REG[rs1], REG[rs2], 7, 1, 0x33))
+
     def lbu(self, rd, rs1, imm):
         self.emit(_i(REG[rd], REG[rs1], imm, 4, 0x03))
 
