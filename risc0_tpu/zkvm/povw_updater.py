@@ -198,19 +198,27 @@ class WorkLogUpdateProver:
         if getattr(self.journal_prover, "is_guest_prover", False):
             # in-zkVM log builder: the guest re-runs the whole transition
             # (claim digests, assumption verification, non-inclusion
-            # proofs, tree update) and journals the result itself
-            self.image_id = np.asarray(self.journal_prover.image_id(),
-                                       np.uint32)
-            receipt = self.journal_prover.prove(
-                log_id=self.log_id, initial_commit=initial_commit,
-                updates=guest_updates,
-                work_receipts=[r for r, _ in claims])
-            journal = LogBuilderJournal.decode(receipt.journal)
-            if (journal.updated_commit != commit
-                    or journal.update_value != total
-                    or journal.initial_commit != initial_commit):
-                raise WorkError(
-                    "guest journal disagrees with the host transition")
+            # proofs, tree update) and journals the result itself.
+            # The tree mutation above must be rolled back if the guest
+            # prove (or its cross-check) fails — otherwise the inserted
+            # jobs have no journal/receipt and every later prove_update
+            # hits the commitment-mismatch error with the prover wedged.
+            try:
+                self.image_id = np.asarray(self.journal_prover.image_id(),
+                                           np.uint32)
+                receipt = self.journal_prover.prove(
+                    log_id=self.log_id, initial_commit=initial_commit,
+                    updates=guest_updates,
+                    work_receipts=[r for r, _ in claims])
+                journal = LogBuilderJournal.decode(receipt.journal)
+                if (journal.updated_commit != commit
+                        or journal.update_value != total
+                        or journal.initial_commit != initial_commit):
+                    raise WorkError(
+                        "guest journal disagrees with the host transition")
+            except Exception:
+                self.work_log.jobs = snapshot
+                raise
             self.continuation = (journal, receipt)
             return journal, receipt
 
@@ -223,7 +231,11 @@ class WorkLogUpdateProver:
         )
         data = journal.encode()
         if self.journal_prover is not None:
-            receipt = self.journal_prover(data, self.image_id)
+            try:
+                receipt = self.journal_prover(data, self.image_id)
+            except Exception:
+                self.work_log.jobs = snapshot
+                raise
         else:
             claim = receipt_claim_ok(self.image_id, bytes_digest(data))
             receipt = Receipt(inner=InnerReceipt("fake", FakeReceipt(claim)),

@@ -66,9 +66,18 @@ def main():
                     help="rewrite PERF_BASELINE.json from this run")
     a = ap.parse_args()
 
+    if not a.update and not os.path.exists(BASELINE):
+        # a missing baseline must be a hard failure: silently writing one
+        # from the current (possibly already-regressed) run would turn the
+        # CI gate into a no-op (ADVICE r3)
+        print(f"FAIL: no committed baseline at {BASELINE}; run "
+              "`python scripts/perf_gate.py --update` on a known-good "
+              "build and commit the result")
+        return 1
+
     got = measure()
     print("measured:", json.dumps(got))
-    if a.update or not os.path.exists(BASELINE):
+    if a.update:
         with open(BASELINE, "w") as f:
             json.dump(got, f, indent=1)
         print(f"baseline written: {BASELINE}")
