@@ -17,8 +17,14 @@ batch length is runtime data), so its image id is STABLE — the quantity
 the on-chain accounting contract pins.
 
 Input layout (encode_update_input, all little-endian):
-  header (120 B): image_id(32) || work_log_id(20) || initial_commit(32)
-                  || control_root(32) || n_updates(4)
+  header (124 B): image_id(32) || work_log_id(20) || initial_commit(32)
+                  || control_root(32) || n_updates(4) || is_continuation(4)
+  if is_continuation: prior journal (124 B) — verified IN-GUEST as an
+  assumption (ok-claim over self_image_id + journal digest), with
+  prior.updated_commit == initial_commit; otherwise initial_commit must
+  equal the EMPTY work-log commit (baked constant) — the reference
+  State::Initial / State::Continuation contract
+  (povw/guests/log-builder/src/main.rs).
   per update (2152 B):
     receipt_claim_digest(32) || nonce_min(32) || nonce_max(32) ||
     value(8) || non-inclusion path (64 siblings x 32)
@@ -40,7 +46,7 @@ from .guest import Asm
 from .guest_env import GuestEnv
 from .povw_tree import EMPTY_SUBTREE_ROOTS, FULL_SUBTREE_ROOTS, Job, WorkLog
 
-HDR_BYTES = 120
+HDR_BYTES = 124
 PATH_SIBS = WorkLog.TREE_HEIGHT - Job.TREE_HEIGHT  # 64 siblings, level 24..88
 REC_BYTES = 32 + 32 + 32 + 8 + PATH_SIBS * 32
 
@@ -80,8 +86,27 @@ def log_builder_elf() -> bytes:
     full_tab = a.put_data(
         b"".join(FULL_SUBTREE_ROOTS[: Job.TREE_HEIGHT]), align=8)
 
+    # chain binding (reference povw/guests/log-builder State::{Initial,
+    # Continuation}): the initial commitment is either the EMPTY work-log
+    # root (checked in-guest against a baked constant) or the
+    # updated_commit of a PRIOR log-builder journal that is verified
+    # in-guest as an assumption under this guest's own image id.
+    empty_commit_c = a.put_data(WorkLog().commit(), align=8)
+    pjmsg, pjd_out, pjnb = g.sha256_buf(124)          # prior journal
+    omsg, o_out, onb = g.sha256_buf(32 + 32 + 32 + 2)  # risc0.Output
+    g._patch_data(omsg, 0, hashlib.sha256(b"risc0.Output").digest())
+    g._patch_data(omsg, 96, (2).to_bytes(2, "little"))
+    # risc0.ReceiptClaim: tag || input(=0) || pre(=image id) || post ||
+    # output || sys_exit,user_exit(=0,0) || down-count 4
+    from .claims import ZERO_DIGEST, SystemState
+    post_const = SystemState(0, ZERO_DIGEST).digest().tobytes()
+    clmsg, cl_out, clnb = g.sha256_buf(5 * 32 + 8 + 2)
+    g._patch_data(clmsg, 0, hashlib.sha256(b"risc0.ReceiptClaim").digest())
+    g._patch_data(clmsg, 96, post_const)
+    g._patch_data(clmsg, 168, (4).to_bytes(2, "little"))
+
     # header offsets
-    H_IMAGE, H_LOG, H_INIT, H_ROOT, H_N = 0, 32, 52, 84, 116
+    H_IMAGE, H_LOG, H_INIT, H_ROOT, H_N, H_FLAG = 0, 32, 52, 84, 116, 120
     # record offsets
     R_CLAIM, R_NMIN, R_NMAX, R_VALUE, R_PATH = 0, 32, 64, 96, 104
 
@@ -91,6 +116,49 @@ def log_builder_elf() -> bytes:
     # -- main ----------------------------------------------------------------
     # cur_commit <- initial_commit
     g.copy_words(cur_commit, _off(hdr, H_INIT), 8)
+
+    # bind the chain start
+    a.li("t1", _off(hdr, H_FLAG))
+    a.lw("t2", "t1", 0)
+    a.beq("t2", "zero", "chain_initial")
+    # continuation: read the prior journal and verify it as an assumption
+    a.syscall("SYS_READ", read_tok, pjmsg, 124, args=[0, 124])
+    a.li("s2", _off(pjmsg, 0))            # prior work_log_id == ours
+    a.li("s3", _off(hdr, H_LOG))
+    a.li("s7", 5)
+    call("cmp_n")
+    a.li("s2", _off(pjmsg, 52))           # prior updated == our initial
+    a.li("s3", _off(hdr, H_INIT))
+    a.li("s7", 8)
+    call("cmp_n")
+    a.li("s2", _off(pjmsg, 92))           # prior self_image_id == ours
+    a.li("s3", _off(hdr, H_IMAGE))
+    a.li("s7", 8)
+    call("cmp_n")
+    g.sha256_emit(pjd_out, pjmsg, pjnb)   # journal digest
+    a.li("s2", pjd_out)                   # output digest
+    a.li("s3", _off(omsg, 32))
+    a.li("s7", 8)
+    call("copy_n")
+    g.sha256_emit(o_out, omsg, onb)
+    a.li("s2", _off(hdr, H_IMAGE))        # claim digest (ok-claim shape)
+    a.li("s3", _off(clmsg, 64))
+    a.li("s7", 8)
+    call("copy_n")
+    a.li("s2", o_out)
+    a.li("s3", _off(clmsg, 128))
+    a.li("s7", 8)
+    call("copy_n")
+    g.sha256_emit(cl_out, clmsg, clnb)
+    g.verify_integrity(cl_out, _off(hdr, H_ROOT))
+    a.jal("zero", "chain_done")
+    a.label("chain_initial")              # initial: must start from EMPTY
+    a.li("s2", empty_commit_c)
+    a.li("s3", cur_commit)
+    a.li("s7", 8)
+    call("cmp_n")
+    a.label("chain_done")
+
     a.li("t1", _off(hdr, H_N))
     a.lw("s0", "t1", 0)                   # s0 = n_updates
     a.li("s10", 0)                        # total value lo
@@ -369,7 +437,11 @@ class LogBuilderGuestProver:
                 ExecutorEnv(), log_builder_elf()).compute_image_id()
         return self._image_id
 
-    def prove(self, *, log_id, initial_commit, updates, work_receipts):
+    def prove(self, *, log_id, initial_commit, updates, work_receipts,
+              continuation=None):
+        """continuation: (prior_journal_bytes, prior_receipt) chaining a
+        non-empty log; the prior receipt is added as an assumption so the
+        guest's in-guest journal verification resolves."""
         import numpy as np
 
         from .exec import ExecutorEnv, ExecutorImpl
@@ -387,11 +459,17 @@ class LogBuilderGuestProver:
         if root is None:
             root = np.zeros(8, np.uint32)
 
+        prior_journal = None
+        if continuation is not None:
+            prior_journal, prior_receipt = continuation
         data = encode_update_input(self.image_id(), log_id, initial_commit,
-                                   root, updates)
+                                   root, updates,
+                                   prior_journal=prior_journal)
         env = ExecutorEnv(segment_po2=self.segment_po2).write_slice(data)
         for r in work_receipts:
             env.add_assumption(r)
+        if continuation is not None:
+            env.add_assumption(prior_receipt)
         elf = log_builder_elf()
 
         if self.prover is not None:
@@ -412,10 +490,13 @@ class LogBuilderGuestProver:
 
 
 def encode_update_input(image_id, work_log_id: int, initial_commit: bytes,
-                        control_root, updates) -> bytes:
+                        control_root, updates,
+                        prior_journal: bytes | None = None) -> bytes:
     """Build the guest's stdin.  `updates` is a list of
     (receipt_claim_digest_32B, nonce_min_32B, nonce_max_32B, value,
-    path_list_of_64_siblings)."""
+    path_list_of_64_siblings); `prior_journal` chains a continuation
+    (the guest verifies it in-guest; without it the initial commit must
+    be the EMPTY work-log root)."""
     import numpy as np
 
     out = np.asarray(image_id, np.uint32).tobytes()
@@ -423,6 +504,10 @@ def encode_update_input(image_id, work_log_id: int, initial_commit: bytes,
     out += bytes(initial_commit)
     out += np.asarray(control_root, np.uint32).tobytes()
     out += len(updates).to_bytes(4, "little")
+    out += (0 if prior_journal is None else 1).to_bytes(4, "little")
+    if prior_journal is not None:
+        assert len(prior_journal) == 124, "prior journal must be 124 bytes"
+        out += bytes(prior_journal)
     for claim_digest, nmin, nmax, value, path in updates:
         assert len(path) == PATH_SIBS, "non-inclusion path must be level 24"
         out += bytes(claim_digest) + bytes(nmin) + bytes(nmax)

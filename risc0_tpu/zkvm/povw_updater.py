@@ -206,10 +206,15 @@ class WorkLogUpdateProver:
             try:
                 self.image_id = np.asarray(self.journal_prover.image_id(),
                                            np.uint32)
+                cont = None
+                if self.continuation is not None:
+                    prior_journal, prior_receipt = self.continuation
+                    cont = (prior_journal.encode(), prior_receipt)
                 receipt = self.journal_prover.prove(
                     log_id=self.log_id, initial_commit=initial_commit,
                     updates=guest_updates,
-                    work_receipts=[r for r, _ in claims])
+                    work_receipts=[r for r, _ in claims],
+                    continuation=cont)
                 journal = LogBuilderJournal.decode(receipt.journal)
                 if (journal.updated_commit != commit
                         or journal.update_value != total

@@ -102,6 +102,51 @@ def test_guest_rejects_foreign_log_and_nonzero_start():
                  updates=_updates_for([r2]), work_receipts=[r2])
 
 
+def test_guest_binds_chain_start_in_guest():
+    """Reference State::{Initial,Continuation} parity
+    (povw/guests/log-builder/src/main.rs): without a continuation the
+    guest only accepts the EMPTY work-log commit; with one it verifies
+    the prior journal in-guest and rejects forgeries."""
+    gp = LogBuilderGuestProver()
+    r = _WorkReceipt(6, 3, 3 << 16)
+
+    # non-empty initial_commit with no continuation -> rejected IN-GUEST
+    tree = WorkLog()
+    tree.add(99, Job(1))
+    with pytest.raises(WorkError, match="rejected"):
+        gp.prove(log_id=LOG, initial_commit=tree.commit(),
+                 updates=_updates_for([r], tree=WorkLog(jobs=dict(tree.jobs))),
+                 work_receipts=[r])
+
+    # honest chain: batch 1 (initial) then batch 2 (continuation)
+    up = _guest_updater()
+    j1, r1 = up.prove_update([_WorkReceipt(1, 4, 4 << 16)])
+    j2, _ = up.prove_update([_WorkReceipt(2, 5, 5 << 16)])
+    assert j2.initial_commit == j1.updated_commit
+
+    # forged prior journal (tampered updated_commit) -> the in-guest
+    # assumption verification cannot resolve -> executor error
+    forged = bytearray(j1.encode())
+    forged[52] ^= 1
+    tree2 = WorkLog()
+    tree2.jobs[1] = Job(4 << 16)  # state after batch 1
+    r2 = _WorkReceipt(2, 5, 5 << 16)
+    with pytest.raises((WorkError, RuntimeError)):
+        gp.prove(log_id=LOG, initial_commit=tree2.commit(),
+                 updates=_updates_for([r2],
+                                      tree=WorkLog(jobs=dict(tree2.jobs))),
+                 work_receipts=[r2], continuation=(bytes(forged), r1))
+
+    # prior journal from a DIFFERENT guest image -> rejected in-guest
+    bad = bytearray(j1.encode())
+    bad[92] ^= 1  # self_image_id
+    with pytest.raises((WorkError, RuntimeError)):
+        gp.prove(log_id=LOG, initial_commit=tree2.commit(),
+                 updates=_updates_for([r2],
+                                      tree=WorkLog(jobs=dict(tree2.jobs))),
+                 work_receipts=[r2], continuation=(bytes(bad), r1))
+
+
 def test_guest_requires_resolvable_assumption():
     """The guest env::verify of the WorkClaim digest must find a matching
     host receipt — feeding records whose claim digest has no registered
