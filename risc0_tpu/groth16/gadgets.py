@@ -69,11 +69,25 @@ def assert_canonical(cs: CS, sig: Sig):
 
 
 def bb_add(a: BB, b: BB) -> BB:
+    # long add chains (the recursion poly_ext IR) grow bounds without any
+    # interleaved mul to force a fit — auto-reduce before Q overflows
+    if a.bound + b.bound >= MAXB:
+        cs = a.sig.cs
+        if a.bound >= b.bound:
+            a = bb_reduce(cs, a)
+        if a.bound + b.bound >= MAXB:
+            b = bb_reduce(cs, b)
     return BB(a.sig + b.sig, a.bound + b.bound)
 
 
 def bb_sub(a: BB, b: BB) -> BB:
     """a - b, lifted non-negative by a multiple of P covering b's bound."""
+    if a.bound + b.bound + P >= MAXB:
+        cs = a.sig.cs
+        if a.bound >= b.bound:
+            a = bb_reduce(cs, a)
+        if a.bound + b.bound + P >= MAXB:
+            b = bb_reduce(cs, b)
     pad = (b.bound // P + 1) * P
     return BB(a.sig + pad - b.sig, a.bound + pad)
 
@@ -81,6 +95,8 @@ def bb_sub(a: BB, b: BB) -> BB:
 def bb_scale(a: BB, c: int) -> BB:
     """Multiply by a standard-form constant (free)."""
     c %= P
+    if c and a.bound * c >= MAXB:
+        a = bb_reduce(a.sig.cs, a)
     return BB(a.sig.scale(c), a.bound * c)
 
 

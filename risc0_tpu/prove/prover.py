@@ -101,6 +101,11 @@ class Prover:
                 poly_mix, self.po2,
             )
             assert check_poly.shape == (EXT_SIZE, domain)
+            # force a 4-byte readback so the scope covers the real device
+            # time instead of letting the async wait land in check_commit
+            # (block_until_ready is unreliable through the axon relay)
+            if not isinstance(check_poly, np.ndarray):
+                np.asarray(check_poly[0:1, 0:1])
 
         # interpolate the 4 planar polys; bit-reversed coeffs reinterpret as
         # 16 polys of length cycles with no data movement (prover.rs:143-178);
