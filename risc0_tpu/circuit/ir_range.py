@@ -388,6 +388,46 @@ def plan_buf_ids(plan) -> list:
     return sorted({int(s[0]) for s in plan.tap_specs})
 
 
+def _tap_gather_plan(per_buf):
+    """Static per-buffer tap-gather plan: distinct back offsets plus flat
+    row indices into the (n_backs * cols, T) stack of shifted windows.
+
+    The naive `ev[cols[:, None], idx]` is a full 2D gather with computed
+    per-element indices — the slowest memory path on TPU.  Each tap row is
+    really `ev[col, (start - 4*back) + 0..T)`, i.e. a contiguous window of
+    a row at one of a handful of distinct back shifts, so the chunk can be
+    served by one dynamic_slice per distinct back (contiguous, fast) and a
+    single static-index row gather."""
+    out = []
+    for cols, backs in per_buf:
+        cols = np.asarray(cols, np.int64)
+        backs = np.asarray(backs, np.int64)
+        db = sorted({int(b) for b in backs})
+        sel = np.array([db.index(int(b)) for b in backs], np.int64)
+        out.append((db, sel, cols))
+    return out
+
+
+def _tap_rows(evs_pad, tap_plan, start, T, domain):
+    """Build the (n_taps, T) tap matrix for one chunk (see
+    _tap_gather_plan); `start` may be a traced scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    rows = []
+    for ev_pad, (db, sel, cols) in zip(evs_pad, tap_plan):
+        C = ev_pad.shape[0]
+        slices = []
+        for b in db:
+            off = (start - 4 * b) % domain
+            slices.append(jax.lax.dynamic_slice_in_dim(
+                ev_pad, off, T, axis=1))
+        stk = jnp.concatenate(slices, axis=0)        # (nb*C, T)
+        flat_idx = jnp.asarray(sel * C + cols)        # static contents
+        rows.append(stk[flat_idx])
+    return jnp.concatenate(rows, axis=0)
+
+
 def _make_eval_check_sharded(plan, per_buf, invz_pat, domain, T, n_chunks,
                              nf, ne, nc):
     """Domain-parallel eval_check over the installed mesh (SURVEY
@@ -418,15 +458,12 @@ def _make_eval_check_sharded(plan, per_buf, invz_pat, domain, T, n_chunks,
                 ext0, jnp.broadcast_to(
                     jnp.asarray(plan.econst_vals)[:, None, :],
                     (len(plan.econst_vals), T, 4)), (0, 0, 0))
-        ar = jnp.arange(T, dtype=jnp.int32)
+        evs_pad = tuple(jnp.concatenate([ev, ev[:, :T]], axis=1)
+                        for ev in evs)
+        tap_plan = _tap_gather_plan(per_buf)
 
         def one_chunk(start):
-            rows = []
-            for ev, (cols, backs) in zip(evs, per_buf):
-                idx = (start - 4 * jnp.asarray(backs)[:, None]
-                       + ar[None, :]) % domain
-                rows.append(ev[jnp.asarray(cols)[:, None], idx])
-            tapm = jnp.concatenate(rows, axis=0)
+            tapm = _tap_rows(evs_pad, tap_plan, start, T, domain)
             return _run_chunk(plan, fp0, ext0, tapm, gvals, pm_pows, T)
 
         return jax.lax.map(one_chunk, starts_blk)
@@ -490,6 +527,8 @@ def make_eval_check(circuit, po2: int, chunk: int = 2048):
     nf, ne = plan.fp_rows, plan.ext_rows
     nc = len(plan.const_vals)
 
+    tap_plan = _tap_gather_plan(per_buf)
+
     @jax.jit
     def run(evs, gvals, pm_pows):
         fp0 = jnp.zeros((nf, T), jnp.uint32)
@@ -503,17 +542,13 @@ def make_eval_check(circuit, po2: int, chunk: int = 2048):
                     jnp.asarray(plan.econst_vals)[:, None, :],
                     (len(plan.econst_vals), T, 4)), (0, 0, 0))
 
-        ar = jnp.arange(T, dtype=jnp.int32)
+        # wrap pad so every back-shifted chunk window is one contiguous
+        # dynamic_slice (see _tap_gather_plan)
+        evs_pad = tuple(jnp.concatenate([ev, ev[:, :T]], axis=1)
+                        for ev in evs)
 
         def one_chunk(start):
-            # tap_specs are ordered by buffer id (build_range_plan), so
-            # per-buffer gathers concatenate into the tap-matrix layout
-            rows = []
-            for ev, (cols, backs) in zip(evs, per_buf):
-                idx = (start - 4 * jnp.asarray(backs)[:, None]
-                       + ar[None, :]) % domain
-                rows.append(ev[jnp.asarray(cols)[:, None], idx])
-            tapm = jnp.concatenate(rows, axis=0)
+            tapm = _tap_rows(evs_pad, tap_plan, start, T, domain)
             return _run_chunk(plan, fp0, ext0, tapm, gvals, pm_pows, T)
 
         starts = jnp.arange(n_chunks, dtype=jnp.int32) * T

@@ -35,6 +35,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--threads", type=int, default=0)
     ap.add_argument("--no-record", action="store_true")
+    ap.add_argument("--golden", action="store_true",
+                    help="freeze the receipt to tests/data/"
+                         "groth16_receipt_golden.npz")
     a = ap.parse_args()
 
     import jax
@@ -97,6 +100,14 @@ def main():
                              verifier_parameters=params.digest())
     receipt.verify_integrity(VerifierContext(groth16_params=params))
     print("Groth16Receipt.verify_integrity: OK", flush=True)
+
+    if a.golden:
+        path = os.path.join(data, "groth16_receipt_golden.npz")
+        np.savez(path,
+                 seal=np.frombuffer(bytes(seal_bytes), np.uint8),
+                 verifier_parameters=receipt.verifier_parameters,
+                 claim_digest=p254.claim.digest())
+        print(f"golden receipt frozen: {path}", flush=True)
 
     total = t_build + t_crs + t_prove
     line = (f"| {datetime.datetime.utcnow():%Y-%m-%d %H:%M} | "
