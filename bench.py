@@ -71,7 +71,9 @@ def main():
     from risc0_tpu.circuit.rv32im.verify import verify_rv32im_seal
     from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
 
-    po2 = int(os.environ.get("RISC0_BENCH_PO2", "16"))
+    # default = the BASELINE driver metric size (po2=20, the executor's
+    # default segment limit); RISC0_BENCH_PO2=16 for quick smoke runs
+    po2 = int(os.environ.get("RISC0_BENCH_PO2", "20"))
     iters = int(os.environ.get("RISC0_BENCH_ITERS", "1"))
 
     elf = open(os.path.join(os.path.dirname(__file__),
@@ -110,10 +112,16 @@ def main():
     warm_s = time.perf_counter() - t0
 
     best = warm_s
+    stages = {}
     for _ in range(iters):
+        perf.reset()
         t0 = time.perf_counter()
         seal = prove_segment(seg, rng=rng)
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best = dt
+            stages = {k: round(v[1], 2) for k, v in perf.report().items()
+                      if "." not in k and v[1] >= 0.05}
 
     verify_rv32im_seal(seal)
 
@@ -134,6 +142,7 @@ def main():
         "vs_baseline": vs_baseline,
         "detail": {
             "prove_s": round(best, 2),
+            "stages_s": stages,
             "warm_iter_s": round(warm_s, 2),
             "execute_mhz": exec_mhz,
             "seal_words": len(seal),

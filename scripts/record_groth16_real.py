@@ -102,11 +102,20 @@ def main():
     print("Groth16Receipt.verify_integrity: OK", flush=True)
 
     if a.golden:
+        from risc0_tpu.groth16 import native as nat
+
         path = os.path.join(data, "groth16_receipt_golden.npz")
         np.savez(path,
                  seal=np.frombuffer(bytes(seal_bytes), np.uint8),
                  verifier_parameters=receipt.verifier_parameters,
-                 claim_digest=p254.claim.digest())
+                 claim_digest=p254.claim.digest(),
+                 # embed the dev-ceremony vk so the golden verifies on
+                 # machines without the local CRS cache
+                 vk_alpha_g1=nat.g1_arr([vk.alpha_g1]),
+                 vk_beta_g2=nat.g2_arr([vk.beta_g2]),
+                 vk_gamma_g2=nat.g2_arr([vk.gamma_g2]),
+                 vk_delta_g2=nat.g2_arr([vk.delta_g2]),
+                 vk_ic=nat.g1_arr(vk.ic))
         print(f"golden receipt frozen: {path}", flush=True)
 
     total = t_build + t_crs + t_prove
