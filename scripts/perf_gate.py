@@ -1,12 +1,18 @@
-"""Perf regression gate: prove a real rv32im segment on the CPU backend
-and fail if throughput drops below the recorded baseline floor
-(reference analog: the datasheet/benchmark regression harness feeding
-reports.risczero.com; here the gate is in-repo and binary pass/fail).
+"""Perf regression gate: CI-shaped measurement on the CPU backend that
+completes fresh in minutes (reference analog: the datasheet/benchmark
+regression harness feeding reports.risczero.com; here the gate is in-repo
+and binary pass/fail).
 
-The committed baseline (PERF_BASELINE.json) records cycles/s from a
-known-good run; the gate fails below `floor_frac` of it (CI machines
-jitter, so the floor is deliberately loose) and prints an update hint
-when the code gets faster.
+Gated quantities:
+  - fib AIR full DEEP-ALI/FRI prove+verify steady-state (the proof-system
+    hot path without the rv32im witgen's 26k-op eval_check, whose CPU
+    LLVM compile alone takes >40 min fresh — measured r4; the rv32im
+    path is regression-covered on real hardware by bench.py instead)
+  - rv32im emulator execute MHz on a 10M-cycle run (host C++ hot loop)
+
+The committed baseline (PERF_BASELINE.json) records a known-good run; the
+gate fails below `FLOOR_FRAC` of it (CI machines jitter, so the floor is
+deliberately loose) and prints an update hint when the code gets faster.
 
     python scripts/perf_gate.py [--update]
 """
@@ -20,7 +26,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE = os.path.join(REPO, "PERF_BASELINE.json")
-PO2 = 14
+FIB_PO2 = 12
 FLOOR_FRAC = 0.5
 
 
@@ -32,29 +38,26 @@ def measure() -> dict:
                       "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
-    import numpy as np
-
-    from risc0_tpu.circuit.rv32im.prove import prove_segment
-    from risc0_tpu.circuit.rv32im.verify import verify_rv32im_seal
+    from risc0_tpu.circuit import fib
     from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
 
+    fib.prove(po2=FIB_PO2, seed=7)  # warm: jit compiles
+    t0 = time.perf_counter()
+    seal = fib.prove(po2=FIB_PO2, seed=7)
+    t_prove = time.perf_counter() - t0
+    fib.verify(seal)
+
     elf = open(os.path.join(REPO, "guests", "loop.bin"), "rb").read()
-    count = max(1, int((0.70 * (1 << PO2) - 13000) / 2.02))
-    env = ExecutorEnv(segment_po2=16).write_slice(count.to_bytes(4, "little"))
+    env = ExecutorEnv(segment_po2=20).write_slice(
+        int(10_000_000 / 2.02).to_bytes(4, "little"))
+    ExecutorImpl(env, elf).run()  # warm the emulator lib
     t0 = time.perf_counter()
     session = ExecutorImpl(env, elf).run()
     t_exec = time.perf_counter() - t0
 
-    seg = session.segments[0]
-    rng = np.random.default_rng(7)
-    prove_segment(seg, rng=rng)  # warm: jit compiles
-    t0 = time.perf_counter()
-    seal = prove_segment(seg, rng=rng)
-    t_prove = time.perf_counter() - t0
-    verify_rv32im_seal(seal)
     return {
-        "po2": seg.po2,
-        "cycles_per_s": round((1 << seg.po2) / t_prove),
+        "fib_po2": FIB_PO2,
+        "cycles_per_s": round((1 << FIB_PO2) / t_prove),
         "execute_mhz": round(session.user_cycles / t_exec / 1e6, 1),
         "prove_s": round(t_prove, 2),
     }
@@ -85,17 +88,20 @@ def main():
 
     with open(BASELINE) as f:
         base = json.load(f)
-    floor = base["cycles_per_s"] * FLOOR_FRAC
-    if got["cycles_per_s"] < floor:
-        print(f"FAIL: {got['cycles_per_s']} cycles/s < floor "
-              f"{floor:.0f} ({FLOOR_FRAC:.0%} of baseline "
-              f"{base['cycles_per_s']})")
-        return 1
-    if got["cycles_per_s"] > base["cycles_per_s"] * 1.3:
-        print("note: >30% faster than baseline — consider "
-              "`python scripts/perf_gate.py --update`")
-    print(f"PASS: {got['cycles_per_s']} cycles/s >= floor {floor:.0f}")
-    return 0
+    rc = 0
+    for key, unit in (("cycles_per_s", "cycles/s"),
+                      ("execute_mhz", "MHz")):
+        floor = base[key] * FLOOR_FRAC
+        if got[key] < floor:
+            print(f"FAIL: {key} {got[key]} {unit} < floor {floor:.1f} "
+                  f"({FLOOR_FRAC:.0%} of baseline {base[key]})")
+            rc = 1
+        else:
+            print(f"PASS: {key} {got[key]} {unit} >= floor {floor:.1f}")
+        if got[key] > base[key] * 1.3:
+            print(f"note: {key} >30% faster than baseline — consider "
+                  "`python scripts/perf_gate.py --update`")
+    return rc
 
 
 if __name__ == "__main__":

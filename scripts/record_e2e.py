@@ -47,6 +47,8 @@ TESTS = [
      "tests/test_groth16_prove.py::test_stark_verify_circuit_fib_p254"),
     ("sharded rv32im segment prove (8-dev mesh, identical seal)",
      "tests/test_sharded.py::test_sharded_rv32im_segment_prove_identical_seal"),
+    ("PoVW log-builder guest segment prove+verify",
+     "tests/test_povw_guest.py::test_log_builder_segment_proves_and_verifies"),
 ]
 
 
