@@ -430,8 +430,12 @@ def _chunk_bytes(witness) -> int:
 def _CHUNK_THRESHOLD() -> int:
     import os
 
+    # 1 GiB: at po2=20 both the data AND accum groups stream column
+    # chunks (A/B on chip r4: 63.4s -> 55.4s/prove; the bulk path's whole-
+    # group LDE ping-pong loses to chunked transfer/compute overlap well
+    # below the old 2 GiB HBM-pressure threshold)
     return int(os.environ.get("RISC0_TPU_COMMIT_CHUNK_BYTES",
-                              str(2 << 30)))
+                              str(1 << 30)))
 
 
 @partial(jax.jit, static_argnames=("zk", "encode"), donate_argnums=(0,))
