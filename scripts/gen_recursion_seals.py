@@ -19,6 +19,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--p254", action="store_true")
+    ap.add_argument("--union", action="store_true",
+                    help="freeze a union receipt of two lifted seals")
+    ap.add_argument("--keccak", action="store_true",
+                    help="freeze a keccak-lift succinct receipt")
     a = ap.parse_args()
 
     import jax
@@ -58,6 +62,29 @@ def main():
         print(f"identity_p254: {time.time()-t0:.1f}s "
               f"seal_words={len(p254.seal)}")
         save(p254, "p254_seal_identity")
+
+    if a.union:
+        from risc0_tpu.zkvm.recursion_driver import union
+
+        t0 = time.time()
+        u = union(receipt, receipt)   # union of (lift14, lift14)
+        print(f"union: {time.time()-t0:.1f}s seal_words={len(u.seal)}")
+        save(u, "union_seal_lift14x2")
+
+    if a.keccak:
+        from risc0_tpu.circuit.keccak.prove import prove_keccak
+        from risc0_tpu.zkvm.recursion_driver import lift_keccak
+
+        rng = np.random.default_rng(14)
+        perms = [[int(x) for x in rng.integers(0, 1 << 64, 25,
+                                               dtype=np.uint64)]
+                 for _ in range(2)]
+        t0 = time.time()
+        kseal = prove_keccak(perms, 14)
+        kr = lift_keccak(np.asarray(kseal, np.uint32), 14)
+        print(f"keccak+lift: {time.time()-t0:.1f}s "
+              f"seal_words={len(kr.seal)}")
+        save(kr, "keccak_lift14_seal")
     print("done")
 
 
