@@ -63,11 +63,19 @@ def main():
     rng = np.random.default_rng(20)
     stages = []
     lifted = []
+    seal_dir = os.environ.get("RISC0_SUCCINCT20_SEAL_DIR", "/tmp/r4logs")
     for i, seg in enumerate(segs):
         t0 = time.time()
         seal = prove_segment(seg, rng=rng)
         t_prove = time.time() - t0
         verify_rv32im_seal(seal)
+        # persist each seal so a downstream failure (or transient device
+        # fault) keeps the expensive artifact for scripts/debug_lift.py
+        try:
+            np.save(os.path.join(seal_dir, f"succinct20_seg{i}.npy"),
+                    np.asarray(seal, np.uint32))
+        except OSError:
+            pass
         stages.append((f"segment {i} prove+verify (po2={seg.po2})",
                        t_prove, len(seal)))
         print(f"segment {i}: proved po2={seg.po2} in {t_prove:.1f}s "
