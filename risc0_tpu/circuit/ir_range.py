@@ -128,9 +128,81 @@ def _collapse_chains(kept, ret_reg):
     return out
 
 
+@dataclass
+class FSum:
+    """A collapsed fadd/fsub tree: dst = Σ sign_i * fp[leaf_i]."""
+
+    dst: int
+    leaves: list                 # [(sign ±1, fp_reg)]
+
+
+def _collapse_fp_sums(nodes):
+    """Fold single-use FADD/FSUB operands into their consumer, turning
+    add/sub trees into flat signed sums (computable as one gather +
+    16-bit-halves reduction; field addition is associative so the result
+    is bit-exact).  The rv32im IR has 5.9k add/sub ops in ~500 ASAP
+    levels of mostly width-1 groups — the dominant serialization of the
+    eval_check graph."""
+    from .ir_exec import FADD, FSUB
+
+    fuse = {}
+
+    def use(r):
+        fuse[r] = fuse.get(r, 0) + 1
+
+    addsub_consumer = {}  # fp reg -> True if every use is by an addsub op
+    for item in nodes:
+        if isinstance(item, Chain):
+            for _k, f in item.t1f:
+                use(f)
+            for _k, f, _e in item.tfe:
+                use(f)
+            continue
+        fd, _ed = deps_of_item(item)
+        is_addsub = item[0] in (FADD, FSUB)
+        for r in fd:
+            use(r)
+            addsub_consumer[r] = addsub_consumer.get(r, True) and is_addsub
+
+    prod = {}
+    for i, item in enumerate(nodes):
+        if not isinstance(item, Chain) and item[0] in (FADD, FSUB):
+            prod[item[1]] = i
+
+    absorbable = {r for r, i in prod.items()
+                  if fuse.get(r) == 1 and addsub_consumer.get(r, False)}
+
+    def expand(reg, sign, out):
+        i = prod.get(reg)
+        if i is None or reg not in absorbable:
+            out.append((sign, reg))
+            return
+        item = nodes[i]
+        expand(item[2], sign, out)
+        expand(item[3], sign if item[0] == FADD else -sign, out)
+
+    out_nodes = []
+    for item in nodes:
+        if isinstance(item, Chain) or item[0] not in (FADD, FSUB):
+            out_nodes.append(item)
+            continue
+        if item[1] in absorbable:
+            continue  # folded into its consumer
+        leaves = []
+        expand(item[2], 1, leaves)
+        expand(item[3], 1 if item[0] == FADD else -1, leaves)
+        if len(leaves) == 2 and leaves[0][0] == 1:
+            out_nodes.append(item)  # plain binary op: keep the cheap form
+        else:
+            assert len(leaves) < (1 << 15)
+            out_nodes.append(FSum(dst=item[1], leaves=leaves))
+    return out_nodes
+
+
 def build_range_plan(circuit) -> RangePlan:
     kept, ret_reg = ir_exec.dedup_ops(circuit)
     nodes = _collapse_chains(kept, ret_reg)
+    nodes = _collapse_fp_sums(nodes)
 
     # ---- input staging rows ----------------------------------------------
     const_vals, tap_specs, global_specs, econst_vals = [], [], [], []
@@ -138,7 +210,7 @@ def build_range_plan(circuit) -> RangePlan:
     ext_row = {}
     body = []
     for item in nodes:
-        if isinstance(item, Chain):
+        if isinstance(item, (Chain, FSum)):
             body.append(item)
             continue
         op = item[0]
@@ -174,6 +246,13 @@ def build_range_plan(circuit) -> RangePlan:
     lvl_e = {r: 0 for r in ext_row}
     node_level = []
     for item in body:
+        if isinstance(item, FSum):
+            lvl = 0
+            for _s, r in item.leaves:
+                lvl = max(lvl, lvl_f[r] + 1)
+            lvl_f[item.dst] = lvl
+            node_level.append(lvl)
+            continue
         if isinstance(item, Chain):
             deps_f = [f for _, f in item.t1f] + [f for _, f, _ in item.tfe]
             deps_e = ([item.acc] + [e for _, e in item.te]
@@ -213,7 +292,9 @@ def build_range_plan(circuit) -> RangePlan:
         by_kind = {}
         while j < len(order) and node_level[order[j]] == lvl:
             item = body[order[j]]
-            k = "chain" if isinstance(item, Chain) else KIND[item[0]]
+            k = ("chain" if isinstance(item, Chain)
+                 else "fsum" if isinstance(item, FSum)
+                 else KIND[item[0]])
             by_kind.setdefault(k, []).append(item)
             j += 1
         for kind, items in by_kind.items():
@@ -222,6 +303,14 @@ def build_range_plan(circuit) -> RangePlan:
                     ext_row[ch.dst] = ext_next
                     ext_next += 1
                     groups.append(("chain", ch))
+                continue
+            if kind == "fsum":
+                # one batched group per level: pad to the longest sum
+                dst0 = fp_next
+                for fs in items:
+                    fp_row[fs.dst] = fp_next
+                    fp_next += 1
+                groups.append(("fsum", dst0, items, None))
                 continue
             is_fp = kind in ("fadd", "fsub", "fmul")
             dst0 = fp_next if is_fp else ext_next
@@ -243,6 +332,17 @@ def build_range_plan(circuit) -> RangePlan:
     # resolve reg ids -> rows in operand arrays
     resolved = []
     for g in groups:
+        if g[0] == "fsum":
+            _kind, dst0, items, _ = g
+            L = max(len(fs.leaves) for fs in items)
+            rows = np.zeros((len(items), L), np.int32)
+            signs = np.zeros((len(items), L), np.int8)
+            for i, fs in enumerate(items):
+                for j, (s, r) in enumerate(fs.leaves):
+                    rows[i, j] = fp_row[r]
+                    signs[i, j] = s
+            resolved.append(("fsum", dst0, rows, signs))
+            continue
         if g[0] == "chain":
             ch = g[1]
             resolved.append(("chain", {
@@ -345,6 +445,17 @@ def _run_chunk(plan, fp0, ext0, tapm, gvals, pm_pows, T):
                 tot = F.add(tot, p_)
             ext = jax.lax.dynamic_update_slice(
                 ext, tot[None], (ch["dst"], 0, 0))
+            continue
+        if g[0] == "fsum":
+            _k, dst0, rows, signs = g
+            vals = fp[rows]                          # (n, L, T)
+            sg = jnp.asarray(signs)[:, :, None]
+            neg = jnp.where(vals == 0, jnp.uint32(0),
+                            jnp.uint32(F.P) - vals)
+            vals = jnp.where(sg > 0, vals,
+                             jnp.where(sg < 0, neg, jnp.uint32(0)))
+            out = _reduce_mod_p(vals, axis=1)        # (n, T)
+            fp = jax.lax.dynamic_update_slice(fp, out, (dst0, 0))
             continue
         kind, dst0, a, b = g
         if kind == "fadd":
