@@ -131,7 +131,11 @@ def main():
     if os.path.exists(CPU_BASELINE_PATH):
         with open(CPU_BASELINE_PATH) as f:
             cpu = json.load(f)
-        if cpu.get("po2") == seg.po2 and cpu.get("cycles_per_s"):
+        if cpu.get("cycles_per_s"):
+            # cycles/s comparison across po2 is conservative when the CPU
+            # baseline was measured at a smaller po2 (CPU per-cycle
+            # throughput only degrades with size; a po2=20 CPU prove is
+            # ~50 h on this host and infeasible to measure directly)
             vs_baseline = round(cycles_per_s / cpu["cycles_per_s"], 2)
 
     print(json.dumps({
