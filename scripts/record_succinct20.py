@@ -86,6 +86,11 @@ def main():
         t0 = time.time()
         lr = lift(sr)
         t_lift = time.time() - t0
+        try:
+            np.save(os.path.join(seal_dir, f"succinct20_lift{i}.npy"),
+                    np.asarray(lr.seal, np.uint32))
+        except OSError:
+            pass
         lr.verify_integrity(VerifierContext(control_root=lr.control_root))
         stages.append((f"segment {i} lift_rv32im_{seg.po2}+verify",
                        t_lift, len(lr.seal)))
