@@ -350,6 +350,16 @@ def _verify_inner_succinct(gen: Gen, root_words, root_abs):
     output decode (inner side of receipt/succinct.rs:103-190).  Returns the
     inner claim-digest half cells (16).  Tape: [index, 8 siblings] then the
     seal words."""
+    from .zkr_verify import _Rng
+
+    # each seal verification is its OWN Fiat-Shamir transcript: start a
+    # fresh sponge rng (the host verifier builds a new Poseidon2Rng per
+    # seal).  Without this the first inner verify's pool state chained
+    # into the second, so every two-seal predicate (join/union/resolve)
+    # diverged from the prover transcript at the second seal — caught by
+    # the first recorded po2=20 join (r4); single-verify predicates
+    # (lift/identity) never exposed it.
+    gen.rng = _Rng(gen)
     proof = _read_inclusion_proof(gen)
 
     def check_code(g, _po2, root_cells):
