@@ -173,13 +173,22 @@ def _collapse_fp_sums(nodes):
                   if fuse.get(r) == 1 and addsub_consumer.get(r, False)}
 
     def expand(reg, sign, out):
-        i = prod.get(reg)
-        if i is None or reg not in absorbable:
-            out.append((sign, reg))
-            return
-        item = nodes[i]
-        expand(item[2], sign, out)
-        expand(item[3], sign if item[0] == FADD else -sign, out)
+        # iterative (explicit stack): absorbable chains in the rv32im IR
+        # are ~500 levels deep already, too close to Python's recursion
+        # limit to recurse per absorbed node
+        stack = [(reg, sign)]
+        while stack:
+            r, s = stack.pop()
+            i = prod.get(r)
+            if i is None or r not in absorbable:
+                out.append((s, r))
+                continue
+            item = nodes[i]
+            # push right first so the left operand is expanded first,
+            # preserving the recursive (left-to-right) leaf order that
+            # cached eval_check plans were fingerprinted against
+            stack.append((item[3], s if item[0] == FADD else -s))
+            stack.append((item[2], s))
 
     out_nodes = []
     for item in nodes:

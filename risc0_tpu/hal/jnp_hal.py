@@ -574,15 +574,14 @@ def commit_pipeline(witness, suite_name: str = "poseidon2", zk: bool = True,
 
 
 @partial(jax.jit, static_argnames=("check_size", "use_pallas", "shard"))
-@partial(jax.jit, static_argnames=("check_size", "use_pallas", "shard"))
 def _check_pipeline_p2(check_poly, check_size: int = 16,
                        use_pallas: bool = False, shard: bool = False):
     """Fused check-group commit: iNTT the (4, domain) check polynomial,
     reinterpret the bit-reversed coeffs as `check_size` base polys with no
     data movement (reference prover.rs:159-178), then LDE + Merkle — ONE
-    compiled graph (this ran eagerly before r4: ~150 per-op dispatches
-    through the axon relay made check_commit the dominant prove stage,
-    20.5 s of a 38 s po2=18 prove)."""
+    compiled graph (per-op dispatch through the axon relay costs ~10 ms/op;
+    unfused this stage was ~150 dispatches, 20.5 s of a 38 s po2=18
+    prove)."""
     cycles = check_poly.shape[-1] * check_poly.shape[0] // check_size
     coeffs_br = ntt.interpolate_ntt(check_poly).reshape(check_size, cycles)
     if shard:

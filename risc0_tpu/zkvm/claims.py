@@ -229,10 +229,3 @@ def receipt_claim_ok(image_id, journal_digest) -> "ReceiptClaim":
     )
 
 
-@dataclass
-class UnionClaim:
-    left: np.ndarray
-    right: np.ndarray
-
-    def digest(self) -> np.ndarray:
-        return tagged_struct("risc0.UnionClaim", [self.left, self.right], [])

@@ -203,6 +203,7 @@ class WorkLogUpdateProver:
             # prove (or its cross-check) fails — otherwise the inserted
             # jobs have no journal/receipt and every later prove_update
             # hits the commitment-mismatch error with the prover wedged.
+            prior_image_id = self.image_id
             try:
                 self.image_id = np.asarray(self.journal_prover.image_id(),
                                            np.uint32)
@@ -222,7 +223,10 @@ class WorkLogUpdateProver:
                     raise WorkError(
                         "guest journal disagrees with the host transition")
             except Exception:
+                # leave the prover object fully unchanged: a retry with a
+                # different journal_prover must not keep a stale image id
                 self.work_log.jobs = snapshot
+                self.image_id = prior_image_id
                 raise
             self.continuation = (journal, receipt)
             return journal, receipt
