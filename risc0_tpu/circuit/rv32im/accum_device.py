@@ -1,0 +1,675 @@
+"""Device accum witgen: if-converted bytecode -> vectorized JAX program.
+
+The rv32im accum pass (witgen_accum.bin, extracted from the reference's
+generated TopAccum — risc0/circuit/rv32im-sys/kernels/cxx/ffi.cpp:311-353)
+is a per-row program with forward-only control flow over an acyclic CFG.
+This module translates it ONCE into a predicated straight-line scalar
+dataflow graph ("if-conversion": every block gets a path-condition vector
+and slot/buffer writes become selects), then evaluates ALL 2^po2 rows at
+once on the device instead of interpreting row-by-row on the host C++
+(12.8 s of a 55 s po2=20 prove in round 4).
+
+Sequential state.  Accum columns 0-11 are three ext-field accumulator
+registers whose next-row value is an AFFINE function of the previous row's
+value (state' = C*state + d with C, d per-row ext elements — the zirgen
+GenerateAccum grand accumulators).  The device algorithm recovers (C, d)
+per row with two probe evaluations of the same graph (state=0 gives d,
+state=1 gives C+d), resolves the recurrence with an inclusive affine
+`associative_scan` (exactly the reference's phase-2 prefix structure,
+ffi.cpp:330-339), and runs one final evaluation with the true previous-row
+states to materialize every accum column.  Machine-region back-reads
+(cols > user_accum_split) are 0 by the zeroBack guard (reference
+kernels/cxx/witgen.h:118-125), so only cols 0-11 carry state.
+
+All field arithmetic runs in Montgomery form on device (field.mul REDC);
+loads from the standard-form witness are encoded on the fly, and the
+output stays Montgomery so the accum Merkle commit skips its encode pass.
+
+Conformance: tests/test_accum_device.py checks bit-exactness against the
+host C++ interpreter (csrc/witgen.cpp) on real executed segments, and
+validates the affine-recurrence assumption with random-state probes.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from ... import field as F
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+P = F.P
+INVALID = np.uint32(0xFFFFFFFF)
+
+# bytecode opcodes (csrc/witgen.cpp:92-99)
+(CONST, B_ADD, B_SUB, B_MUL, B_NEG, B_ISZ, B_INV, B_BITAND, B_MOD,
+ B_INRANGE, B_LOAD, B_STORE, B_ELOAD, B_ESTORE, B_EADD, B_ESUB, B_EMUL,
+ B_EINV, B_EMULS, B_EFROMVAL, B_ECONST, B_EEQZ, B_MOV, B_EMOV, B_EQZ,
+ B_JZ, B_JMP, B_UNREACH) = range(28)
+
+# graph node kinds
+(K, DATA, GLOB, MIXIN, STATE, ADD, SUB, NEG, MUL, INV, ENC, DEC, ISZ,
+ INRANGE, NZ, EQZB, AND, OR, NOT, SEL) = range(20)
+
+_KIND_NAMES = ("K DATA GLOB MIXIN STATE ADD SUB NEG MUL INV ENC DEC ISZ "
+               "INRANGE NZ EQZB AND OR NOT SEL").split()
+
+NUM_ACCUM = 103
+USER_SPLIT = 23
+STATE_COLS = 12   # cols 0-11: three ext accumulator registers
+
+
+class Graph:
+    """Hash-consed predicated dataflow graph with constant folding."""
+
+    def __init__(self):
+        self.nodes = []       # (kind, a, b, c)
+        self.domain = []      # 's' std u32 field/flag, 'm' mont, 'b' bool
+        self._memo = {}
+        self.TRUE = self._raw(K, 1, 0, 0, "b")
+        self.FALSE = self._raw(K, 0, 0, 0, "b")
+
+    def _raw(self, kind, a, b, c, dom):
+        key = (kind, a, b, c, dom)
+        i = self._memo.get(key)
+        if i is None:
+            i = len(self.nodes)
+            self.nodes.append((kind, a, b, c))
+            self.domain.append(dom)
+            self._memo[key] = i
+        return i
+
+    # -- constants ----------------------------------------------------------
+    def k(self, v, dom="s"):
+        return self._raw(K, int(v) % P if dom != "b" else int(v), 0, 0, dom)
+
+    def is_k(self, i):
+        return self.nodes[i][0] == K
+
+    def kval(self, i):
+        return self.nodes[i][1]
+
+    # -- domain conversion --------------------------------------------------
+    def to_mont(self, i):
+        d = self.domain[i]
+        if d == "m":
+            return i
+        assert d == "s"
+        if self.is_k(i):
+            return self.k(F.s_encode(self.kval(i)), "m")
+        return self._raw(ENC, i, 0, 0, "m")
+
+    def to_std(self, i):
+        d = self.domain[i]
+        if d == "s":
+            return i
+        assert d == "m"
+        if self.is_k(i):
+            return self.k(F.s_decode(self.kval(i)), "s")
+        return self._raw(DEC, i, 0, 0, "s")
+
+    # -- field arithmetic (Montgomery) --------------------------------------
+    def fadd(self, a, b):
+        a, b = self.to_mont(a), self.to_mont(b)
+        if self.is_k(a) and self.kval(a) == 0:
+            return b
+        if self.is_k(b) and self.kval(b) == 0:
+            return a
+        if self.is_k(a) and self.is_k(b):
+            return self.k(F.s_add(self.kval(a), self.kval(b)), "m")
+        if a > b:
+            a, b = b, a   # commutative: canonical operand order
+        return self._raw(ADD, a, b, 0, "m")
+
+    def fsub(self, a, b):
+        a, b = self.to_mont(a), self.to_mont(b)
+        if a == b:
+            return self.k(0, "m")
+        if self.is_k(b) and self.kval(b) == 0:
+            return a
+        if self.is_k(a) and self.is_k(b):
+            return self.k(F.s_sub(self.kval(a), self.kval(b)), "m")
+        return self._raw(SUB, a, b, 0, "m")
+
+    def fneg(self, a):
+        a = self.to_mont(a)
+        if self.is_k(a):
+            return self.k((P - self.kval(a)) % P, "m")
+        return self._raw(NEG, a, 0, 0, "m")
+
+    def fmul(self, a, b):
+        a, b = self.to_mont(a), self.to_mont(b)
+        one = F.R % P
+        for x, y in ((a, b), (b, a)):
+            if self.is_k(x):
+                if self.kval(x) == 0:
+                    return self.k(0, "m")
+                if self.kval(x) == one:
+                    return y
+        if self.is_k(a) and self.is_k(b):
+            return self.k(F.s_mul(self.kval(a), self.kval(b)), "m")
+        if a > b:
+            a, b = b, a
+        return self._raw(MUL, a, b, 0, "m")
+
+    def finv(self, a):
+        a = self.to_mont(a)
+        if self.is_k(a):
+            return self.k(F.s_inv(self.kval(a)), "m")
+        return self._raw(INV, a, 0, 0, "m")
+
+    # -- bool/conds ---------------------------------------------------------
+    def nz(self, a):   # field value != 0 (domain-independent)
+        if self.is_k(a):
+            return self.TRUE if self.kval(a) != 0 else self.FALSE
+        return self._raw(NZ, a, 0, 0, "b")
+
+    def eq0(self, a):
+        if self.is_k(a):
+            return self.TRUE if self.kval(a) == 0 else self.FALSE
+        return self._raw(EQZB, a, 0, 0, "b")
+
+    def band(self, a, b):
+        if a == self.FALSE or b == self.FALSE:
+            return self.FALSE
+        if a == self.TRUE:
+            return b
+        if b == self.TRUE:
+            return a
+        if a == b:
+            return a
+        if a > b:
+            a, b = b, a
+        return self._raw(AND, a, b, 0, "b")
+
+    def bor(self, a, b):
+        if a == self.TRUE or b == self.TRUE:
+            return self.TRUE
+        if a == self.FALSE:
+            return b
+        if b == self.FALSE:
+            return a
+        if a == b:
+            return a
+        if a > b:
+            a, b = b, a
+        return self._raw(OR, a, b, 0, "b")
+
+    def bnot(self, a):
+        if a == self.TRUE:
+            return self.FALSE
+        if a == self.FALSE:
+            return self.TRUE
+        if self.nodes[a][0] == NOT:
+            return self.nodes[a][1]
+        return self._raw(NOT, a, 0, 0, "b")
+
+    def sel(self, c, a, b):
+        """c ? a : b (a, b coerced to a common domain)."""
+        if c == self.TRUE:
+            return a
+        if c == self.FALSE:
+            return b
+        if a == b:
+            return a
+        da, db = self.domain[a], self.domain[b]
+        if da != db:
+            if "m" in (da, db):
+                a, b = self.to_mont(a), self.to_mont(b)
+            else:
+                a, b = self.to_std(a), self.to_std(b)
+        if a == b:
+            return a
+        return self._raw(SEL, c, a, b, self.domain[a])
+
+
+def _load_bytecode():
+    with open(os.path.join(_DATA_DIR, "witgen_accum.bin"), "rb") as f:
+        magic, n_ops, n_slots, n_ext, _ = struct.unpack("<4sIIII",
+                                                        f.read(20))
+        assert magic == b"WGN1"
+        ops = np.frombuffer(f.read(n_ops * 20), np.uint32).reshape(n_ops, 5)
+        ext = np.frombuffer(f.read(n_ext * 16), np.uint32).reshape(n_ext, 4)
+    return ops, int(n_slots), ext
+
+
+class AccumGraph:
+    """Build product: graph + output ids + input specs."""
+
+    def __init__(self, g, out_cols, bad, data_taps, glob_ids, mix_ids):
+        self.g = g
+        self.out_cols = out_cols      # 103 node ids (Montgomery domain)
+        self.bad = bad                # bool node id
+        self.data_taps = data_taps    # ordered [(col, back)]
+        self.glob_ids = glob_ids      # ordered [col]
+        self.mix_ids = mix_ids        # ordered [idx]
+
+
+def build_accum_graph():
+    """If-convert witgen_accum.bin into a predicated dataflow graph."""
+    ops, n_slots, extconsts = _load_bytecode()
+    n_ops = len(ops)
+    g = Graph()
+
+    # basic-block leaders (forward-only jumps — verified acyclic)
+    leaders = {0}
+    for pc in range(n_ops):
+        op, _d, _a, b, _c = ops[pc]
+        if op in (B_JZ, B_JMP):
+            assert b > pc, "accum CFG must be forward-only"
+            leaders.add(int(b))
+            leaders.add(pc + 1)
+    leaders = sorted(leaders)
+    block_of = {lo: i for i, lo in enumerate(leaders)}
+
+    env = {}            # slot -> node id (merged across blocks)
+    acc = {}            # accum col -> node id (merged, any domain)
+    incoming = {0: [g.TRUE]}
+    bad = g.FALSE
+
+    data_taps, glob_ids, mix_ids = {}, {}, {}
+
+    def in_data(col, back):
+        key = (int(col), int(back))
+        if key not in data_taps:
+            data_taps[key] = g._raw(DATA, key[0], key[1], 0, "s")
+        return data_taps[key]
+
+    def in_glob(col):
+        col = int(col)
+        if col not in glob_ids:
+            glob_ids[col] = g._raw(GLOB, col, 0, 0, "s")
+        return glob_ids[col]
+
+    def in_mix(idx):
+        idx = int(idx)
+        if idx not in mix_ids:
+            mix_ids[idx] = g._raw(MIXIN, idx, 0, 0, "s")
+        return mix_ids[idx]
+
+    for bi, lo in enumerate(leaders):
+        hi = leaders[bi + 1] if bi + 1 < len(leaders) else n_ops
+        conds = incoming.pop(lo, None)
+        if not conds:
+            continue   # statically unreachable
+        c = conds[0]
+        for extra in conds[1:]:
+            c = g.bor(c, extra)
+
+        local = {}       # slot -> node (unpredicated, this block)
+        acc_local = {}   # col -> node
+
+        def rd(slot):
+            slot = int(slot)
+            v = local.get(slot)
+            if v is None:
+                v = env.get(slot)
+            if v is None:
+                v = g.k(0)   # read-before-write: dead on live paths
+            return v
+
+        def wr(slot, v):
+            local[int(slot)] = v
+
+        def buf_load(buf, col, back):
+            buf, col, back = int(buf), int(col), int(back)
+            if buf == 0:
+                return in_data(col, back)
+            if buf == 1:
+                return in_glob(col)
+            if buf == 2:
+                if back > 0:
+                    if col < STATE_COLS:
+                        return g._raw(STATE, col, 0, 0, "m")
+                    if col > USER_SPLIT:
+                        return g.k(0)   # zeroBack guard (witgen.h:118-125)
+                    raise NotImplementedError(
+                        f"back-read of accum col {col}")
+                v = acc_local.get(col)
+                if v is None:
+                    v = acc.get(col)
+                if v is None:
+                    v = g.k(0)
+                return v
+            return in_mix(col)
+
+        def buf_store(buf, col, v):
+            assert int(buf) == 2, "accum program stores only to accum"
+            acc_local[int(col)] = v
+
+        fallthrough = True
+        pc = lo
+        while pc < hi:
+            op, d, a, b, cc = (int(x) for x in ops[pc])
+            if op == CONST:
+                wr(d, g.k(a))
+            elif op == B_ADD:
+                wr(d, g.fadd(rd(a), rd(b)))
+            elif op == B_SUB:
+                wr(d, g.fsub(rd(a), rd(b)))
+            elif op == B_MUL:
+                wr(d, g.fmul(rd(a), rd(b)))
+            elif op == B_NEG:
+                wr(d, g.fneg(rd(a)))
+            elif op == B_ISZ:
+                x = rd(a)
+                wr(d, g.sel(g.eq0(x), g.k(1), g.k(0)))
+            elif op == B_INV:
+                wr(d, g.finv(rd(a)))
+            elif op == B_INRANGE:
+                lo_v, x, hi_v = (g.to_std(rd(r)) for r in (a, b, cc))
+                wr(d, g._raw(INRANGE, lo_v, x, hi_v, "s"))
+            elif op == B_LOAD:
+                wr(d, buf_load(cc, a, b))
+            elif op == B_STORE:
+                buf_store(cc, a, rd(b))
+            elif op == B_ELOAD:
+                for i in range(4):
+                    wr(d + i, buf_load(cc, a + i, b))
+            elif op == B_ESTORE:
+                for i in range(4):
+                    buf_store(cc, a + i, rd(b + i))
+            elif op == B_EADD:
+                for i in range(4):
+                    wr(d + i, g.fadd(rd(a + i), rd(b + i)))
+            elif op == B_ESUB:
+                for i in range(4):
+                    wr(d + i, g.fsub(rd(a + i), rd(b + i)))
+            elif op == B_EMUL:
+                av = [rd(a + i) for i in range(4)]
+                bv = [rd(b + i) for i in range(4)]
+                nb = g.k(F.NBETA)
+                wr(d + 0, g.fadd(
+                    g.fmul(av[0], bv[0]),
+                    g.fmul(nb, g.fadd(g.fadd(g.fmul(av[1], bv[3]),
+                                             g.fmul(av[2], bv[2])),
+                                      g.fmul(av[3], bv[1])))))
+                wr(d + 1, g.fadd(
+                    g.fadd(g.fmul(av[0], bv[1]), g.fmul(av[1], bv[0])),
+                    g.fmul(nb, g.fadd(g.fmul(av[2], bv[3]),
+                                      g.fmul(av[3], bv[2])))))
+                wr(d + 2, g.fadd(
+                    g.fadd(g.fmul(av[0], bv[2]), g.fmul(av[1], bv[1])),
+                    g.fadd(g.fmul(av[2], bv[0]),
+                           g.fmul(nb, g.fmul(av[3], bv[3])))))
+                wr(d + 3, g.fadd(
+                    g.fadd(g.fmul(av[0], bv[3]), g.fmul(av[1], bv[2])),
+                    g.fadd(g.fmul(av[2], bv[1]), g.fmul(av[3], bv[0]))))
+            elif op == B_EINV:
+                av = [rd(a + i) for i in range(4)]
+                beta = g.k(F.BETA)
+                nbeta = g.k(F.NBETA)
+                b0 = g.fadd(g.fmul(av[0], av[0]),
+                            g.fmul(beta, g.fsub(
+                                g.fmul(av[1], g.fadd(av[3], av[3])),
+                                g.fmul(av[2], av[2]))))
+                b2 = g.fadd(g.fsub(g.fmul(av[0], g.fadd(av[2], av[2])),
+                                   g.fmul(av[1], av[1])),
+                            g.fmul(beta, g.fmul(av[3], av[3])))
+                cn = g.fadd(g.fmul(b0, b0), g.fmul(beta, g.fmul(b2, b2)))
+                ic = g.finv(cn)
+                b0 = g.fmul(b0, ic)
+                b2 = g.fmul(b2, ic)
+                wr(d + 0, g.fadd(g.fmul(av[0], b0),
+                                 g.fmul(beta, g.fmul(av[2], b2))))
+                wr(d + 1, g.fadd(g.fmul(g.fneg(av[1]), b0),
+                                 g.fmul(nbeta, g.fmul(av[3], b2))))
+                wr(d + 2, g.fadd(g.fmul(g.fneg(av[0]), b2),
+                                 g.fmul(av[2], b0)))
+                wr(d + 3, g.fsub(g.fmul(av[1], b2), g.fmul(av[3], b0)))
+            elif op == B_EMULS:
+                s = rd(b)
+                for i in range(4):
+                    wr(d + i, g.fmul(rd(a + i), s))
+            elif op == B_EFROMVAL:
+                wr(d, rd(a))
+                for i in range(1, 4):
+                    wr(d + i, g.k(0))
+            elif op == B_ECONST:
+                for i in range(4):
+                    wr(d + i, g.k(int(extconsts[a][i])))
+            elif op in (B_EEQZ, B_EQZ):
+                n = 4 if op == B_EEQZ else 1
+                for i in range(n):
+                    bad = g.bor(bad, g.band(c, g.nz(rd(a + i))))
+            elif op == B_MOV:
+                wr(d, rd(a))
+            elif op == B_EMOV:
+                for i in range(4):
+                    wr(d + i, rd(a + i))
+            elif op == B_JZ:
+                z = g.eq0(rd(a))
+                incoming.setdefault(b, []).append(g.band(c, z))
+                incoming.setdefault(hi, []).append(g.band(c, g.bnot(z)))
+                fallthrough = False
+            elif op == B_JMP:
+                incoming.setdefault(b, []).append(c)
+                fallthrough = False
+            elif op == B_UNREACH:
+                bad = g.bor(bad, c)
+            else:
+                raise NotImplementedError(
+                    f"accum bytecode op {op} not supported on device")
+            pc += 1
+        if fallthrough and hi < n_ops:
+            incoming.setdefault(hi, []).append(c)
+
+        # merge this block's writes under its path condition
+        for slot, v in local.items():
+            old = env.get(slot)
+            env[slot] = v if old is None and c == g.TRUE else \
+                g.sel(c, v, old if old is not None else g.k(0))
+        for col, v in acc_local.items():
+            old = acc.get(col)
+            acc[col] = v if old is None and c == g.TRUE else \
+                g.sel(c, v, old if old is not None else g.k(0))
+
+    out_cols = [g.to_mont(acc.get(col, g.k(0))) for col in range(NUM_ACCUM)]
+    taps = sorted(data_taps)
+    return AccumGraph(
+        g, out_cols, bad,
+        data_taps=[(k, data_taps[k]) for k in taps],
+        glob_ids=sorted(glob_ids.items()),
+        mix_ids=sorted(mix_ids.items()),
+    )
+
+
+_GRAPH = None
+
+
+def accum_graph():
+    global _GRAPH
+    if _GRAPH is None:
+        _GRAPH = build_accum_graph()
+    return _GRAPH
+
+
+# ---------------------------------------------------------------------------
+# numpy executor (reference/testing path)
+# ---------------------------------------------------------------------------
+
+def eval_graph_np(ag, data, glob, mix, state_prev):
+    """Evaluate the graph over all rows with numpy.
+
+    data: (211, rows) std u32 (INVALID cells tolerated: zeroized).
+    glob: (90,) std.  mix: (36,) std.  state_prev: (rows, 12) MONT.
+    Returns (accum_mont (103, rows) u32, bad (rows,) bool).
+    """
+    g = ag.g
+    rows = data.shape[1]
+    data = np.where(data == INVALID, 0, data)
+
+    vals = {}
+    # refcounts for aggressive freeing
+    refs = np.zeros(len(g.nodes), np.int64)
+    live = set()
+
+    def mark(i):
+        if i in live:
+            refs[i] += 1
+            return
+        live.add(i)
+        refs[i] += 1
+        kind, a, b, c = g.nodes[i]
+        if kind in (ADD, SUB, MUL, AND, OR):
+            mark(a), mark(b)
+        elif kind in (NEG, INV, ENC, DEC, ISZ, NZ, EQZB, NOT):
+            mark(a)
+        elif kind == INRANGE:
+            mark(a), mark(b), mark(c)
+        elif kind == SEL:
+            mark(a), mark(b), mark(c)
+
+    for i in ag.out_cols:
+        mark(i)
+    mark(ag.bad)
+
+    def get(i):
+        return vals[i]
+
+    def put(i, v):
+        vals[i] = v
+
+    def unref(i):
+        refs[i] -= 1
+        if refs[i] == 0:
+            vals.pop(i, None)
+
+    order = sorted(live)
+    R2v = np.uint32(F.R2)
+    onev = np.uint32(1)
+    for i in order:
+        kind, a, b, c = g.nodes[i]
+        if kind == K:
+            put(i, np.uint32(a))
+        elif kind == DATA:
+            col = data[a]
+            put(i, np.roll(col, b) if b else col)
+        elif kind == GLOB:
+            put(i, np.uint32(glob[a]))
+        elif kind == MIXIN:
+            put(i, np.uint32(mix[a]))
+        elif kind == STATE:
+            put(i, state_prev[:, a])
+        elif kind == ADD:
+            put(i, F.add_np(get(a), get(b))); unref(a); unref(b)
+        elif kind == SUB:
+            put(i, F.sub_np(get(a), get(b))); unref(a); unref(b)
+        elif kind == NEG:
+            put(i, F.neg_np(get(a))); unref(a)
+        elif kind == MUL:
+            put(i, F.mul_np(get(a), get(b))); unref(a); unref(b)
+        elif kind == INV:
+            put(i, F.inv_np(np.broadcast_to(get(a), (rows,)))); unref(a)
+        elif kind == ENC:
+            put(i, F.mul_np(get(a), R2v)); unref(a)
+        elif kind == DEC:
+            put(i, F.mul_np(get(a), onev)); unref(a)
+        elif kind == ISZ:
+            put(i, (get(a) == 0).astype(np.uint32)); unref(a)
+        elif kind == INRANGE:
+            lo_v, x, hi_v = get(a), get(b), get(c)
+            put(i, ((lo_v <= x) & (x < hi_v)).astype(np.uint32))
+            unref(a); unref(b); unref(c)
+        elif kind == NZ:
+            put(i, get(a) != 0); unref(a)
+        elif kind == EQZB:
+            put(i, get(a) == 0); unref(a)
+        elif kind == AND:
+            put(i, get(a) & get(b)); unref(a); unref(b)
+        elif kind == OR:
+            put(i, get(a) | get(b)); unref(a); unref(b)
+        elif kind == NOT:
+            put(i, ~get(a)); unref(a)
+        elif kind == SEL:
+            put(i, np.where(get(a), get(b), get(c)))
+            unref(a); unref(b); unref(c)
+        else:
+            raise AssertionError(kind)
+
+    out = np.empty((NUM_ACCUM, rows), np.uint32)
+    for col, i in enumerate(ag.out_cols):
+        out[col] = np.broadcast_to(vals[i], (rows,))
+    badv = np.broadcast_to(vals[ag.bad], (rows,))
+    return out, badv
+
+
+def _affine_scan_np(c, d):
+    """Inclusive scan of s_r = c_r * s_{r-1} + d_r (s_{-1}=0), Montgomery
+    ext elements: c, d (rows, 3, 4).  Hillis-Steele composition."""
+    C = c.copy()
+    D = d.copy()
+    rows = c.shape[0]
+    off = 1
+    while off < rows:
+        # F[r] = F[r] o F[r-off]
+        c_hi, d_hi = C[off:], D[off:]
+        c_lo, d_lo = C[:-off], D[:-off]
+        C2 = F.ext_mul_np(c_hi, c_lo)
+        D2 = F.add_np(F.ext_mul_np(c_hi, d_lo), d_hi)
+        C = np.concatenate([C[:off], C2], axis=0)
+        D = np.concatenate([D[:off], D2], axis=0)
+        off *= 2
+    return D   # s_r = composite applied to 0
+
+
+def _phases23_np(accum_m, split=USER_SPLIT):
+    """Phase 2 (prefix-sum of the last 4 cols) + phase 3 (add prev-row
+    totals to machine cols) in Montgomery form, mirroring witgen.py /
+    reference ffi.cpp:330-361."""
+    rows = accum_m.shape[1]
+    for j in range(4):
+        col = NUM_ACCUM - 4 + j
+        accum_m[col] = _prefix_add_np(accum_m[col])
+    machine_cols = (NUM_ACCUM - split) // 4
+    prev = np.roll(accum_m[NUM_ACCUM - 4:], 1, axis=1)
+    for j in range(machine_cols - 1):
+        for k2 in range(4):
+            col = split + j * 4 + k2
+            accum_m[col] = F.add_np(accum_m[col], prev[k2])
+    return accum_m
+
+
+def _prefix_add_np(col):
+    out = col.astype(np.uint64).copy()
+    off = 1
+    n = len(out)
+    while off < n:
+        out[off:] = (out[off:] + out[:-off]) % P
+        off *= 2
+    return out.astype(np.uint32)
+
+
+def witgen_accum_np(res, mix):
+    """Full device-algorithm accum in numpy (oracle for the jnp path):
+    probe evals -> affine scan -> final eval -> phases 2/3.
+
+    Returns accum in STANDARD form (103, rows), matching witgen_accum.
+    """
+    ag = accum_graph()
+    data = res["data"]
+    glob = res["global"]
+    rows = res["rows"]
+    mix = np.asarray(mix, np.uint32)
+
+    zero = np.zeros((rows, STATE_COLS), np.uint32)
+    e0, bad0 = eval_graph_np(ag, data, glob, mix, zero)
+    one = zero.copy()
+    one[:, 0] = one[:, 4] = one[:, 8] = F.R % P   # ext ONE per reg (Mont)
+    e1, _ = eval_graph_np(ag, data, glob, mix, one)
+
+    d = e0[:STATE_COLS].T.reshape(rows, 3, 4)
+    cmat = F.sub_np(e1[:STATE_COLS], e0[:STATE_COLS]).T.reshape(rows, 3, 4)
+    s = _affine_scan_np(cmat, d)
+    state_prev = np.zeros_like(s)
+    state_prev[1:] = s[:-1]
+    e2, bad = eval_graph_np(
+        ag, data, glob, mix, state_prev.reshape(rows, STATE_COLS))
+    if bad.any():
+        raise RuntimeError(
+            f"accum device eval: {int(bad.sum())} rows failed in-circuit "
+            "checks (run host witgen_accum for diagnostics)")
+    out = _phases23_np(e2)
+    return F.decode_np(out)

@@ -1,0 +1,132 @@
+"""Device accum witgen vs the host C++ interpreter (bit-exactness).
+
+The if-converted graph + probe/scan algorithm (accum_device.py) must
+reproduce csrc/witgen.cpp's output exactly on real executed segments —
+the DualHal-style conformance pattern (reference zkp/src/hal/dual.rs).
+"""
+
+import numpy as np
+import pytest
+
+from risc0_tpu import field as F
+
+
+def _loop_res(po2=16, count=100, seed=3):
+    from risc0_tpu.circuit.rv32im.witgen import witgen_exec
+    from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
+
+    elf = open("/root/repo/guests/loop.bin", "rb").read()
+    env = ExecutorEnv(segment_po2=po2).write_slice(count.to_bytes(4,
+                                                                  "little"))
+    seg = ExecutorImpl(env, elf).run().segments[0]
+    rng = np.random.default_rng(seed)
+    rand_z = tuple(int(x) for x in rng.integers(0, F.P, 4))
+    res = witgen_exec(seg, rand_z=rand_z)
+    mix = rng.integers(0, F.P, 36).astype(np.uint32)
+    return res, mix
+
+
+def test_accum_graph_builds():
+    from risc0_tpu.circuit.rv32im import accum_device as AD
+
+    ag = AD.accum_graph()
+    assert len(ag.out_cols) == 103
+    # all three state regs are read somewhere
+    kinds = [n[0] for n in ag.g.nodes]
+    assert kinds.count(AD.STATE) == 12
+
+
+def test_accum_device_matches_cpp():
+    from risc0_tpu.circuit.rv32im import accum_device as AD
+    from risc0_tpu.circuit.rv32im.witgen import witgen_accum
+
+    res, mix = _loop_res()
+    want = witgen_accum(res, mix)
+    got = AD.witgen_accum_np(res, mix)
+    mism = np.argwhere(got != want)
+    assert mism.size == 0, \
+        f"{len(mism)} mismatching cells, first: {mism[:5].tolist()}"
+
+
+def test_accum_affine_assumption():
+    """The state transition must be s' = C*s + d with per-reg ext C
+    (diagonal, ext-linear).  Probe with a random state and check
+    E(s) == C*s + d elementwise — this would catch cross-register mixing
+    or non-affine state use that the two-probe recovery cannot represent."""
+    from risc0_tpu.circuit.rv32im import accum_device as AD
+
+    res, mix = _loop_res(count=50)
+    ag = AD.accum_graph()
+    rows = res["rows"]
+    data, glob = res["data"], res["global"]
+
+    zero = np.zeros((rows, 12), np.uint32)
+    e0, _ = AD.eval_graph_np(ag, data, glob, mix, zero)
+    one = zero.copy()
+    one[:, 0] = one[:, 4] = one[:, 8] = F.R % F.P
+    e1, _ = AD.eval_graph_np(ag, data, glob, mix, one)
+    d = e0[:12].T.reshape(rows, 3, 4)
+    c = F.sub_np(e1[:12], e0[:12]).T.reshape(rows, 3, 4)
+
+    rng = np.random.default_rng(11)
+    s = F.encode_np(rng.integers(0, F.P, (rows, 3, 4)).astype(np.uint32))
+    er, _ = AD.eval_graph_np(ag, data, glob, mix,
+                             s.reshape(rows, 12))
+    want = F.add_np(F.ext_mul_np(c, s), d)
+    got = er[:12].T.reshape(rows, 3, 4)
+    assert np.array_equal(got, want), "state transition is not affine-diagonal"
+    # row 0 never reads the (cyclically wrapped) previous state
+    assert (c[0] == 0).all()
+
+
+def test_accum_device_agrees_with_cpp_on_corrupt_witness():
+    """Corrupted data registers: the device path must agree with the C++
+    interpreter — reject when it rejects, match bit-exactly when its
+    internal EQZ checks happen to accept (the accum pass is not a full
+    constraint checker; eval_check is)."""
+    from risc0_tpu.circuit.rv32im import accum_device as AD
+    from risc0_tpu.circuit.rv32im.witgen import witgen_accum
+
+    res, mix = _loop_res(count=30)
+    res = dict(res)
+    data = res["data"].copy()
+    data[:64, res["rows"] // 2] = 2
+    res["data"] = data
+    try:
+        want = witgen_accum(res, mix)
+    except RuntimeError:
+        with pytest.raises(RuntimeError, match="failed in-circuit checks"):
+            AD.witgen_accum_np(res, mix)
+        return
+    got = AD.witgen_accum_np(res, mix)
+    assert np.array_equal(got, want)
+
+
+def test_accum_device_flags_inconsistent_onehot():
+    """A corruption the interpreter rejects (garbled OneHot selector in
+    the final lookup-table region) must be flagged by the device path's
+    bad-row accumulator too."""
+    from risc0_tpu.circuit.rv32im import accum_device as AD
+    from risc0_tpu.circuit.rv32im.witgen import witgen_accum
+
+    res, mix = _loop_res(count=30)
+    base = res["data"]
+    rows = res["rows"]
+    found = None
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        col = int(rng.integers(0, base.shape[0]))
+        row = int(rng.integers(rows // 2, rows))
+        trial = dict(res)
+        d2 = base.copy()
+        d2[col, row] = (int(d2[col, row]) + 1) % F.P
+        trial["data"] = d2
+        try:
+            witgen_accum(trial, mix)
+        except RuntimeError:
+            found = trial
+            break
+    if found is None:
+        pytest.skip("no single-cell corruption rejected by the C++ oracle")
+    with pytest.raises(RuntimeError, match="failed in-circuit checks"):
+        AD.witgen_accum_np(found, mix)
