@@ -267,7 +267,7 @@ def build_accum_graph():
     env = {}            # slot -> node id (merged across blocks)
     acc = {}            # accum col -> node id (merged, any domain)
     incoming = {0: [g.TRUE]}
-    bad = g.FALSE
+    bad_terms = []
 
     data_taps, glob_ids, mix_ids = {}, {}, {}
 
@@ -433,7 +433,7 @@ def build_accum_graph():
             elif op in (B_EEQZ, B_EQZ):
                 n = 4 if op == B_EEQZ else 1
                 for i in range(n):
-                    bad = g.bor(bad, g.band(c, g.nz(rd(a + i))))
+                    bad_terms.append(g.band(c, g.nz(rd(a + i))))
             elif op == B_MOV:
                 wr(d, rd(a))
             elif op == B_EMOV:
@@ -448,7 +448,7 @@ def build_accum_graph():
                 incoming.setdefault(b, []).append(c)
                 fallthrough = False
             elif op == B_UNREACH:
-                bad = g.bor(bad, c)
+                bad_terms.append(c)
             else:
                 raise NotImplementedError(
                     f"accum bytecode op {op} not supported on device")
@@ -467,6 +467,13 @@ def build_accum_graph():
                 g.sel(c, v, old if old is not None else g.k(0))
 
     out_cols = [g.to_mont(acc.get(col, g.k(0))) for col in range(NUM_ACCUM)]
+    # balanced OR tree: a linear chain would serialize ~700 levels of the
+    # otherwise-shallow graph into singleton device ops
+    terms = [t for t in bad_terms if t != g.FALSE] or [g.FALSE]
+    while len(terms) > 1:
+        terms = [g.bor(terms[i], terms[i + 1]) if i + 1 < len(terms)
+                 else terms[i] for i in range(0, len(terms), 2)]
+    bad = terms[0]
     taps = sorted(data_taps)
     return AccumGraph(
         g, out_cols, bad,
@@ -673,3 +680,295 @@ def witgen_accum_np(res, mix):
             "checks (run host witgen_accum for diagnostics)")
     out = _phases23_np(e2)
     return F.decode_np(out)
+
+# ---------------------------------------------------------------------------
+# Device (jnp) executor: register-file range plan, one jit for the whole
+# probe -> scan -> final -> phases pipeline (trace-cached across processes)
+# ---------------------------------------------------------------------------
+
+class ExecPlan:
+    """Grouped register-file execution plan for a set of graph outputs."""
+
+    def __init__(self, ag, outputs):
+        g = ag.g
+        live = set()
+        stack = list(outputs)
+
+        def deps(i):
+            kind, a, b, c = g.nodes[i]
+            if kind in (ADD, SUB, MUL, AND, OR):
+                return (a, b)
+            if kind in (NEG, INV, ENC, DEC, ISZ, NZ, EQZB, NOT):
+                return (a,)
+            if kind in (INRANGE, SEL):
+                return (a, b, c)
+            return ()
+
+        while stack:
+            i = stack.pop()
+            if i in live:
+                continue
+            live.add(i)
+            stack.extend(deps(i))
+
+        order = sorted(live)
+        level = {}
+        for i in order:
+            ds = deps(i)
+            level[i] = 1 + max((level[d] for d in ds), default=0)
+
+        # input rows: consts | taps | scalars(glob+mix) | state
+        row = {}
+        self.const_vals = []
+        consts = [i for i in order if g.nodes[i][0] == K]
+        for i in consts:
+            row[i] = len(row)
+            self.const_vals.append(g.kval(i))
+        self.const_vals = np.asarray(self.const_vals, np.uint32)
+
+        # taps: select from the SHARED (len(ag.data_taps), rows) tap matrix
+        self.tap_start = len(row)
+        tap_pos = {nid: p for p, (_k, nid) in enumerate(ag.data_taps)}
+        tap_sel = []
+        for i in order:
+            if g.nodes[i][0] == DATA:
+                row[i] = self.tap_start + len(tap_sel)
+                tap_sel.append(tap_pos[i])
+        self.tap_sel = np.asarray(tap_sel, np.int32)
+
+        # scalars: shared [glob..., mix...] vector
+        self.scal_start = len(row)
+        spos = {}
+        for p, (_c, nid) in enumerate(ag.glob_ids):
+            spos[nid] = p
+        off = len(ag.glob_ids)
+        for p, (_c, nid) in enumerate(ag.mix_ids):
+            spos[nid] = off + p
+        scal_sel = []
+        for i in order:
+            if g.nodes[i][0] in (GLOB, MIXIN):
+                row[i] = self.scal_start + len(scal_sel)
+                scal_sel.append(spos[i])
+        self.scal_sel = np.asarray(scal_sel, np.int32)
+
+        # state rows: fixed 12-row block (input is always (12, chunk))
+        self.state_start = len(row)
+        state_nodes = [i for i in order if g.nodes[i][0] == STATE]
+        state_sel = []
+        for i in state_nodes:
+            row[i] = self.state_start + len(state_sel)
+            state_sel.append(g.nodes[i][1])
+        self.state_sel = np.asarray(state_sel, np.int32)
+
+        # computed nodes: contiguous rows per (level, kind) group
+        groups = {}
+        for i in order:
+            kind = g.nodes[i][0]
+            if kind in (K, DATA, GLOB, MIXIN, STATE):
+                continue
+            groups.setdefault((level[i], kind), []).append(i)
+
+        self.groups = []
+        for (lv, kind), members in sorted(groups.items()):
+            dst = len(row)
+            for i in members:
+                row[i] = len(row)
+            opnds = []
+            n_ops = {ADD: 2, SUB: 2, MUL: 2, AND: 2, OR: 2, NEG: 1, INV: 1,
+                     ENC: 1, DEC: 1, ISZ: 1, NZ: 1, EQZB: 1, NOT: 1,
+                     INRANGE: 3, SEL: 3}[kind]
+            for slot in range(n_ops):
+                opnds.append(np.asarray(
+                    [row[deps(i)[slot]] for i in members], np.int32))
+            self.groups.append((kind, dst, len(members), opnds))
+
+        self.n_rows = len(row)
+        self.out_rows = np.asarray([row[i] for i in outputs], np.int32)
+
+
+def _group_compute(kind, ops):
+    import jax.numpy as jnp
+
+    if kind == ADD:
+        return F.add(ops[0], ops[1])
+    if kind == SUB:
+        return F.sub(ops[0], ops[1])
+    if kind == MUL:
+        return F.mul(ops[0], ops[1])
+    if kind == NEG:
+        return F.neg(ops[0])
+    if kind == INV:
+        return F.inv(ops[0])
+    if kind == ENC:
+        return F.encode(ops[0])
+    if kind == DEC:
+        return F.decode(ops[0])
+    if kind == ISZ:
+        return (ops[0] == 0).astype(jnp.uint32)
+    if kind == INRANGE:
+        return ((ops[0] <= ops[1]) & (ops[1] < ops[2])).astype(jnp.uint32)
+    if kind == NZ:
+        return (ops[0] != 0).astype(jnp.uint32)
+    if kind == EQZB:
+        return (ops[0] == 0).astype(jnp.uint32)
+    if kind == AND:
+        return ops[0] & ops[1]
+    if kind == OR:
+        return ops[0] | ops[1]
+    if kind == NOT:
+        return ops[0] ^ jnp.uint32(1)
+    if kind == SEL:
+        return jnp.where(ops[0] != 0, ops[1], ops[2])
+    raise AssertionError(kind)
+
+
+def _run_plan(plan, taps, scalars, state, chunk):
+    """Evaluate a plan over all rows with a fori_loop of register-file
+    chunks.  taps: (n_taps, rows) u32.  scalars: (ns,) u32.
+    state: (12, rows) u32 Montgomery.  Returns (n_out, rows)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rows = taps.shape[1]
+    n_chunks = rows // chunk
+    consts = jnp.asarray(plan.const_vals)
+    nk = len(plan.const_vals)
+    out = jnp.zeros((len(plan.out_rows), rows), jnp.uint32)
+
+    def body(i, out):
+        t = lax.dynamic_slice(taps, (0, i * chunk), (taps.shape[0], chunk))
+        s = lax.dynamic_slice(state, (0, i * chunk), (12, chunk))
+        file = jnp.zeros((plan.n_rows, chunk), jnp.uint32)
+        file = lax.dynamic_update_slice(
+            file, jnp.broadcast_to(consts[:, None], (nk, chunk)), (0, 0))
+        file = lax.dynamic_update_slice(
+            file, t[plan.tap_sel], (plan.tap_start, 0))
+        file = lax.dynamic_update_slice(
+            file, jnp.broadcast_to(scalars[plan.scal_sel][:, None],
+                                   (len(plan.scal_sel), chunk)),
+            (plan.scal_start, 0))
+        file = lax.dynamic_update_slice(
+            file, s[plan.state_sel], (plan.state_start, 0))
+        for kind, dst, _n, opnds in plan.groups:
+            vals = _group_compute(kind, [file[ix] for ix in opnds])
+            file = lax.dynamic_update_slice(file, vals, (dst, 0))
+        return lax.dynamic_update_slice(
+            out, file[plan.out_rows], (0, i * chunk))
+
+    return jax.lax.fori_loop(0, n_chunks, body, out)
+
+
+_PLANS = {}
+
+
+def _plans():
+    if not _PLANS:
+        ag = accum_graph()
+        _PLANS["ag"] = ag
+        _PLANS["probe"] = ExecPlan(ag, ag.out_cols[:STATE_COLS])
+        _PLANS["full"] = ExecPlan(ag, ag.out_cols + [ag.bad])
+    return _PLANS
+
+
+def _accum_pipeline(taps, scalars, chunk):
+    """The full device accum: probes -> affine scan -> final -> phases 2/3.
+
+    Returns (accum (103, rows) Montgomery u32, bad_rows scalar u32)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    plans = _plans()
+    rows = taps.shape[1]
+    mont_one = jnp.uint32(F.R % P)
+
+    zero_state = jnp.zeros((12, rows), jnp.uint32)
+    one_state = zero_state.at[0].set(mont_one).at[4].set(mont_one) \
+                          .at[8].set(mont_one)
+    e0 = _run_plan(plans["probe"], taps, scalars, zero_state, chunk)
+    e1 = _run_plan(plans["probe"], taps, scalars, one_state, chunk)
+
+    d = e0.T.reshape(rows, 3, 4)
+    c = F.sub(e1, e0).T.reshape(rows, 3, 4)
+
+    def compose(lo, hi):
+        c1, d1 = lo
+        c2, d2 = hi
+        return F.ext_mul(c2, c1), F.add(F.ext_mul(c2, d1), d2)
+
+    _, s = lax.associative_scan(compose, (c, d), axis=0)
+    state_prev = jnp.concatenate(
+        [jnp.zeros((1, 3, 4), jnp.uint32), s[:-1]], axis=0)
+    e2 = _run_plan(plans["full"], taps, scalars,
+                   state_prev.reshape(rows, 12).T, chunk)
+    accum, bad = e2[:NUM_ACCUM], e2[NUM_ACCUM]
+
+    # phase 2: inclusive prefix-sum of the last 4 columns (ffi.cpp:330-339)
+    totals = lax.associative_scan(F.add, accum[NUM_ACCUM - 4:], axis=1)
+    prev = jnp.roll(totals, 1, axis=1)
+    # phase 3: add prev-row totals to all but the last machine ext group
+    machine = (NUM_ACCUM - USER_SPLIT) // 4
+    fix = jnp.tile(prev, (machine - 1, 1))
+    accum = jnp.concatenate([
+        accum[:USER_SPLIT],
+        F.add(accum[USER_SPLIT:NUM_ACCUM - 4], fix),
+        totals,
+    ], axis=0)
+    return accum, jnp.sum(bad, dtype=jnp.uint32)
+
+
+_DEVICE_FNS = {}
+
+
+def witgen_accum_device(res, mix, chunk=2048):
+    """Device accum witgen.  Returns ((103, rows) MONTGOMERY device array).
+
+    Raises RuntimeError when in-circuit checks fail (fall back to the host
+    witgen_accum for row/loc diagnostics)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from ...hal.trace_cache import TraceCached, fingerprint
+
+    plans = _plans()
+    ag = plans["ag"]
+    rows = res["rows"]
+    cols = sorted({c for c, _b in (k for k, _n in ag.data_taps)})
+    col_idx = {c: p for p, c in enumerate(cols)}
+    data = res["data"]
+    data_sel = np.ascontiguousarray(data[cols])
+
+    key = (rows, chunk)
+    fn = _DEVICE_FNS.get(key)
+    if fn is None:
+        b0 = np.asarray([col_idx[c] for (c, b), _n in ag.data_taps
+                         if b == 0], np.int32)
+        b1 = np.asarray([col_idx[c] for (c, b), _n in ag.data_taps
+                         if b == 1], np.int32)
+        order = np.argsort(np.concatenate([
+            np.flatnonzero([b == 0 for (_c, b), _n in ag.data_taps]),
+            np.flatnonzero([b == 1 for (_c, b), _n in ag.data_taps])]))
+
+        @partial(jax.jit, static_argnames=())
+        def run(data_sel, scalars):
+            dsel = jnp.where(data_sel == INVALID, 0, data_sel)
+            taps = jnp.concatenate(
+                [dsel[b0], jnp.roll(dsel[b1], 1, axis=1)], axis=0)[order]
+            return _accum_pipeline(taps, scalars, chunk)
+
+        fn = TraceCached(run, key=fingerprint(
+            "accum_device", rows, chunk, len(ag.g.nodes),
+            [int(x) for x in plans["full"].out_rows]),
+            label=f"accum_dev_{rows}")
+        _DEVICE_FNS[key] = fn
+
+    scalars = np.concatenate([
+        np.asarray([res["global"][c] for c, _n in ag.glob_ids], np.uint32),
+        np.asarray([mix[i] for i, _n in ag.mix_ids], np.uint32)])
+    accum, bad = fn(data_sel, scalars)
+    if int(np.asarray(bad)) != 0:
+        raise RuntimeError(
+            f"accum device eval: {int(np.asarray(bad))} rows failed "
+            "in-circuit checks (run host witgen_accum for diagnostics)")
+    return accum

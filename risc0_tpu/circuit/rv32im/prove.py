@@ -8,6 +8,8 @@ accum commit, then the generic DEEP-ALI/FRI finalize.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ... import field as F
@@ -109,9 +111,20 @@ def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
 
     mix_m = np.array([iop.random_elem() for _ in range(REGCOUNT_MIX)],
                      np.uint32)
-    with perf.scope("witgen_accum"):
-        accum = witgen_accum(res, F.decode_np(mix_m))
-    prover.commit_group(REGISTER_GROUP_ACCUM, accum, encode=True)
+    device_accum = use_jit and os.environ.get("RISC0_TPU_HOST_ACCUM") != "1"
+    if device_accum:
+        # accum runs on the chip (if-converted graph + affine scan,
+        # accum_device.py): no 12 s host interpreter pass and no
+        # host->device transfer of the 103-column matrix; output stays
+        # Montgomery so the commit skips its encode pass
+        from .accum_device import witgen_accum_device
+        with perf.scope("witgen_accum"):
+            accum_m = witgen_accum_device(res, F.decode_np(mix_m))
+        prover.commit_group(REGISTER_GROUP_ACCUM, accum_m, encode=False)
+    else:
+        with perf.scope("witgen_accum"):
+            accum = witgen_accum(res, F.decode_np(mix_m))
+        prover.commit_group(REGISTER_GROUP_ACCUM, accum, encode=True)
 
     if use_jit:
         hal_obj = Rv32imCircuitHal(circuit)

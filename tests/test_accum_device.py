@@ -130,3 +130,38 @@ def test_accum_device_flags_inconsistent_onehot():
         pytest.skip("no single-cell corruption rejected by the C++ oracle")
     with pytest.raises(RuntimeError, match="failed in-circuit checks"):
         AD.witgen_accum_np(found, mix)
+
+
+def test_accum_device_jnp_matches_cpp():
+    """The jitted register-file executor (probe/scan/final pipeline in ONE
+    graph) matches the host C++ bit-exactly on a real segment."""
+    from risc0_tpu.circuit.rv32im import accum_device as AD
+    from risc0_tpu.circuit.rv32im.witgen import witgen_accum
+
+    res, mix = _loop_res()
+    want = witgen_accum(res, mix)
+    got_m = AD.witgen_accum_device(res, mix)
+    got = F.decode_np(np.asarray(got_m))
+    mism = np.argwhere(got != want)
+    assert mism.size == 0, \
+        f"{len(mism)} mismatching cells, first: {mism[:5].tolist()}"
+
+
+def test_accum_device_commit_root_matches_host_path():
+    """prove.py integration: committing the device (Montgomery) accum with
+    encode=False must produce the same Merkle root as the host std-form
+    accum with encode=True — i.e. the seal is unchanged by the device
+    accum path."""
+    from risc0_tpu.circuit.rv32im import accum_device as AD
+    from risc0_tpu.circuit.rv32im.witgen import witgen_accum
+    from risc0_tpu.hal import jnp_hal as hal
+
+    res, mix = _loop_res()
+    host = witgen_accum(res, mix)
+    dev = AD.witgen_accum_device(res, mix)
+
+    _c1, _e1, layers1 = hal.commit_pipeline(host, encode=True)
+    _c2, _e2, layers2 = hal.commit_pipeline(dev, encode=False)
+    assert len(layers1) == len(layers2)
+    for a, b in zip(layers1, layers2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
