@@ -64,19 +64,34 @@ class Rv32imCircuitHal:
         return fn(evs, gvals, pm_pows)
 
 
-def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
-    """Prove one executed segment; returns the seal (uint32 words)."""
-    import jax.numpy as jnp
-
-    suite = suite or POSEIDON2
-    circuit = load_circuit()
+def segment_preflight(seg, rand_z=None, rng=None):
+    """CPU-side half of segment proving: preflight re-execution + exec
+    witness generation (reference ProverServer::segment_preflight,
+    host/server/prove/mod.rs:79-82).  Returns the witness dict consumed
+    by prove_segment_core, so a scheduler can run this on a CPU pool
+    while the device proves the previous segment."""
     rng = rng or np.random.default_rng()
     if rand_z is None:
         rand_z = tuple(int(x) for x in rng.integers(0, F.P, 4))
 
     from ... import perf
     with perf.scope("witgen_exec"):
-        res = witgen_exec(seg, rand_z=rand_z)
+        return witgen_exec(seg, rand_z=rand_z)
+
+
+def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
+    """Prove one executed segment; returns the seal (uint32 words)."""
+    res = segment_preflight(seg, rand_z=rand_z, rng=rng)
+    return prove_segment_core(res, suite=suite, use_jit=use_jit)
+
+
+def prove_segment_core(res, suite=None, use_jit=True):
+    """Device half of segment proving over a preflight/witgen result
+    (reference ProverServer::prove_segment_core, prove/mod.rs:83-86)."""
+    import jax.numpy as jnp
+
+    suite = suite or POSEIDON2
+    circuit = load_circuit()
     po2 = int(np.log2(res["rows"]))
     assert (1 << po2) == res["rows"]
     cycles = res["rows"]

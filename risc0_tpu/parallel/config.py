@@ -31,6 +31,7 @@ VERSION = 1
 
 _KIND_NAMES = {
     "execute": TaskKind.EXECUTE,
+    "preflight": TaskKind.PREFLIGHT,
     "prove-segment": TaskKind.PROVE_SEGMENT,
     "prove-keccak": TaskKind.PROVE_KECCAK,
     "lift": TaskKind.LIFT,
@@ -196,7 +197,13 @@ def launch_cluster(cfg: AppConfig, prover=None) -> Cluster:
             def processor(task):
                 from ..zkvm.exec import resolve_segment
 
+                if task.kind == TaskKind.PREFLIGHT:
+                    seg, _claim = task.payload
+                    return p.segment_preflight(seg)
                 if task.kind == TaskKind.PROVE_SEGMENT:
+                    if len(task.payload) == 3:   # split-preflight core
+                        seg, claim, preflight = task.payload
+                        return p.prove_segment_core(preflight, seg, claim)
                     seg, claim = task.payload
                     return p.prove_segment(resolve_segment(seg), claim)
                 if task.kind == TaskKind.LIFT:

@@ -40,6 +40,7 @@ def _claim_digest(receipt) -> np.ndarray:
 
 class TaskKind(Enum):
     EXECUTE = "execute"
+    PREFLIGHT = "preflight"    # CPU half of segment proving (witgen)
     PROVE_SEGMENT = "prove_segment"
     PROVE_KECCAK = "prove_keccak"
     LIFT = "lift"
@@ -224,7 +225,8 @@ class ProofJob:
 
     def __init__(self, factory: Factory, prover, env, elf: bytes,
                  receipt_kind: str = "succinct", coproc_receipts=None,
-                 asset_addr=None, stream_keccak: bool = False):
+                 asset_addr=None, stream_keccak: bool = False,
+                 split_preflight: bool = False):
         self.factory = factory
         self.prover = prover
         self.env = env
@@ -242,6 +244,14 @@ class ProofJob:
         # proving with the remainder of execution.  Local pools only —
         # the callback rides the env object, which then can't pickle.
         self.stream_keccak = stream_keccak
+        # split segment proving into a CPU PREFLIGHT task and a device
+        # PROVE_SEGMENT(core) task (reference ProverServer::
+        # {segment_preflight, prove_segment_core}, prove/mod.rs:79-86 and
+        # actors/worker.rs:569-592): host witgen of segment N+1 overlaps
+        # device proving of segment N.  The preflight result is MB-scale,
+        # so the core task carries same-host affinity; pools that enable
+        # this must subscribe a worker to PREFLIGHT.
+        self.split_preflight = split_preflight
         self._outst_lock = threading.Lock()
         self._streamed = 0
         # PoVW mode: lift/join produce WorkClaim receipts threading the
@@ -375,14 +385,20 @@ class ProofJob:
                         seg, self._asset_client = SegmentAssetRef.store(
                             resolve_segment(seg), self.asset_addr,
                             self._asset_client)
-                    self._submit(TaskKind.PROVE_SEGMENT, (seg, sc),
-                                 affinity=done.host)
+                    first = TaskKind.PREFLIGHT if self.split_preflight \
+                        else TaskKind.PROVE_SEGMENT
+                    self._submit(first, (seg, sc), affinity=done.host)
                     outstanding += 1
                 for req in getattr(session, "pending_keccaks", []):
                     self._submit(TaskKind.PROVE_KECCAK, req)
                     outstanding += 1
+            elif task.kind == TaskKind.PREFLIGHT:
+                seg, sc = task.payload
+                self._submit(TaskKind.PROVE_SEGMENT, (seg, sc, result),
+                             affinity=done.host)
+                outstanding += 1
             elif task.kind == TaskKind.PROVE_SEGMENT:
-                seg, _ = task.payload
+                seg = task.payload[0]
                 if self.receipt_kind == "composite":
                     # no recursion layer: chain the segment receipts as-is
                     segment_receipts[seg.index] = result
@@ -498,13 +514,18 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
         if task.kind == TaskKind.EXECUTE:
             env, elf = task.payload
             return ExecutorImpl(env, elf).run()
+        if task.kind == TaskKind.PREFLIGHT:
+            seg, _claim = task.payload
+            return prover.segment_preflight(seg)
         raise RuntimeError(f"cpu worker got {task.kind}")
 
     def accel_processor(task: Task):
         if task.kind == TaskKind.PROVE_SEGMENT:
-            seg, claim = task.payload
             from ..zkvm.exec import resolve_segment
-
+            if len(task.payload) == 3:     # split-preflight core task
+                seg, claim, preflight = task.payload
+                return prover.prove_segment_core(preflight, seg, claim)
+            seg, claim = task.payload
             return prover.prove_segment(resolve_segment(seg), claim)
         if task.kind == TaskKind.LIFT:
             _, segment_receipt, work = task.payload
@@ -534,8 +555,9 @@ def make_local_pools(factory: Factory, prover, num_cpu: int = 2,
 
     workers = []
     for i in range(num_cpu):
-        workers.append(Worker(factory, [TaskKind.EXECUTE], cpu_processor,
-                              f"cpu-{i}").start())
+        workers.append(Worker(factory,
+                              [TaskKind.EXECUTE, TaskKind.PREFLIGHT],
+                              cpu_processor, f"cpu-{i}").start())
     for i in range(num_accel):
         workers.append(Worker(
             factory, [TaskKind.PROVE_SEGMENT, TaskKind.PROVE_KECCAK,

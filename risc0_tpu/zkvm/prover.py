@@ -80,6 +80,18 @@ class ProverServer:
     def prove_segment(self, seg, claim) -> SegmentReceipt:
         raise NotImplementedError
 
+    def segment_preflight(self, seg):
+        """CPU half of segment proving (reference ProverServer::
+        segment_preflight, host/server/prove/mod.rs:79-82): returns an
+        opaque preflight result for prove_segment_core, so a scheduler
+        can assign the two halves to different worker pools."""
+        raise NotImplementedError
+
+    def prove_segment_core(self, preflight, seg, claim) -> SegmentReceipt:
+        """Device half over a segment_preflight result (reference
+        ProverServer::prove_segment_core, prove/mod.rs:83-86)."""
+        raise NotImplementedError
+
     def lift(self, segment_receipt):
         raise NotImplementedError
 
@@ -127,6 +139,15 @@ class DevModeProver(ProverServer):
                          work=_session_work(session))
 
     def prove_segment(self, seg, claim) -> FakeReceipt:
+        self._sleep(self.delay.segment_preflight)
+        self._sleep(self.delay.prove_segment_core)
+        return FakeReceipt(claim)
+
+    def segment_preflight(self, seg):
+        self._sleep(self.delay.segment_preflight)
+        return {"fake_preflight": getattr(seg, "index", 0)}
+
+    def prove_segment_core(self, preflight, seg, claim) -> FakeReceipt:
         self._sleep(self.delay.prove_segment_core)
         return FakeReceipt(claim)
 
@@ -330,9 +351,18 @@ class ProverImpl(ProverServer):
         return out
 
     def prove_segment(self, seg, claim) -> SegmentReceipt:
-        from ..circuit.rv32im.prove import prove_segment as rv_prove_segment
+        return self.prove_segment_core(self.segment_preflight(seg), seg,
+                                       claim)
 
-        seal = rv_prove_segment(resolve_segment(seg))
+    def segment_preflight(self, seg):
+        from ..circuit.rv32im.prove import segment_preflight as rv_preflight
+
+        return rv_preflight(resolve_segment(seg))
+
+    def prove_segment_core(self, preflight, seg, claim) -> SegmentReceipt:
+        from ..circuit.rv32im.prove import prove_segment_core as rv_core
+
+        seal = rv_core(preflight)
         return SegmentReceipt(seal=seal, index=getattr(seg, "index", 0),
                               hashfn=self.opts.hashfn, claim=claim)
 

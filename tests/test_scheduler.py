@@ -476,3 +476,42 @@ def test_stream_keccak_coprocessor_overlaps_execution(loop_elf):
     finally:
         for w in workers:
             w.stop()
+
+
+def test_preflight_split_pipelines_segments(loop_elf):
+    """PREFLIGHT/PROVE_SEGMENT split (reference ProverServer::
+    {segment_preflight, prove_segment_core}, prove/mod.rs:79-86 +
+    actors/worker.rs:569-592): with one CPU and one accel worker, host
+    preflight of segment N+1 overlaps device proving of segment N, so a
+    multi-segment session beats the serial (unsplit) pipeline."""
+    import time
+
+    count = 1024 * 494 + 818   # >2 segments at po2=16
+    delay = DevModeDelay(segment_preflight=0.12, prove_segment_core=0.15)
+
+    def run(split):
+        factory = Factory()
+        prover = DevModeProver(delay)
+        workers = make_local_pools(factory, prover, num_cpu=1, num_accel=1)
+        try:
+            env = ExecutorEnv(segment_po2=16).write_slice(
+                count.to_bytes(4, "little"))
+            job = ProofJob(factory, prover, env, loop_elf,
+                           split_preflight=split)
+            t0 = time.perf_counter()
+            session, receipt = job.run()
+            return time.perf_counter() - t0, session, receipt
+        finally:
+            for w in workers:
+                w.stop()
+
+    t_serial, s1, r1 = run(split=False)
+    t_split, s2, r2 = run(split=True)
+    n = len(s2.segments)
+    assert n >= 3
+    # same final claim either way
+    assert np.array_equal(r1.claim.digest(), r2.claim.digest())
+    # serial lower bound: n*(preflight+core); split lower bound:
+    # preflight + n*core.  Require a real win with slack for jitter.
+    assert t_split < t_serial - 0.5 * (n - 1) * 0.12, \
+        f"no pipeline win: serial {t_serial:.2f}s split {t_split:.2f}s"
