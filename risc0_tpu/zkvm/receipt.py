@@ -262,6 +262,15 @@ class Groth16Receipt:
         if not v.verify():
             raise VerificationError("groth16 proof invalid")
 
+    def seal_calldata(self) -> bytes:
+        """On-chain seal format: bytes4 verifier selector ++ 256-byte
+        proof — what RiscZeroGroth16Verifier.verifyIntegrity expects
+        (risc0_tpu/groth16/solidity.py; reference risc0-ethereum seal
+        encoding)."""
+        from ..groth16.solidity import seal_to_calldata
+
+        return seal_to_calldata(bytes(self.seal), self.verifier_parameters)
+
     def claim_digest(self) -> np.ndarray:
         return self.claim.digest()
 
