@@ -191,10 +191,22 @@ class WorkLogUpdateProver:
         if self.journal_prover is None:
             # default = the in-zkVM log builder (reference parity: the
             # update transition is always run in the guest; pass an
-            # explicit callable to override, e.g. for scheduler stubs)
+            # explicit callable to override, e.g. for scheduler stubs).
+            # Outside dev mode the guest session is PROVEN — the journal
+            # receipt is cryptographic end-to-end (reference
+            # povw/src/prover.rs:207-231 always proves); RISC0_DEV_MODE
+            # keeps the executed-session FakeReceipt for fast tests.
             from .povw_guest import LogBuilderGuestProver
+            from .receipt import is_dev_mode
 
-            self.journal_prover = LogBuilderGuestProver()
+            dev = is_dev_mode() or getattr(self.verifier_ctx, "dev_mode",
+                                           False)
+            prover = None
+            if not dev:
+                from .prover import ProverImpl
+
+                prover = ProverImpl()
+            self.journal_prover = LogBuilderGuestProver(prover=prover)
         if getattr(self.journal_prover, "is_guest_prover", False):
             # in-zkVM log builder: the guest re-runs the whole transition
             # (claim digests, assumption verification, non-inclusion

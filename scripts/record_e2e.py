@@ -49,6 +49,8 @@ TESTS = [
      "tests/test_sharded.py::test_sharded_rv32im_segment_prove_identical_seal"),
     ("PoVW log-builder guest segment prove+verify",
      "tests/test_povw_guest.py::test_log_builder_segment_proves_and_verifies"),
+    ("PoVW cryptographic chain (work receipt -> prove_update -> proven journal)",
+     "tests/test_povw_guest.py::test_povw_full_cryptographic_chain"),
 ]
 
 

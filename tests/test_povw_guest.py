@@ -204,3 +204,43 @@ def test_log_builder_segment_proves_and_verifies():
     verify_rv32im_seal(seal)
     claim = decode_claim(seal)
     assert claim.exit_code.kind in ("Halted", "SystemSplit")
+
+
+@pytest.mark.skipif(not os.environ.get("RISC0_TPU_SLOW_TESTS"),
+                    reason="three real proves (rv32im + lift_povw + "
+                           "log-builder guest)")
+def test_povw_full_cryptographic_chain(monkeypatch):
+    """VERDICT r4 item 8: the complete PoVW chain with no dev-mode link —
+    a real povw segment receipt, lifted to a WorkClaim succinct receipt,
+    consumed by prove_update whose journal receipt is PROVEN in the zkVM
+    (reference povw/src/prover.rs:207-231 + log-builder guest flow)."""
+    monkeypatch.delenv("RISC0_DEV_MODE", raising=False)
+    import numpy as np
+
+    from risc0_tpu.circuit.rv32im.claim import decode_claim
+    from risc0_tpu.circuit.rv32im.prove import prove_segment
+    from risc0_tpu.circuit.rv32im.verify import verify_rv32im_seal
+    from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
+    from risc0_tpu.zkvm.povw import PovwJobId
+    from risc0_tpu.zkvm.povw_updater import WorkLogUpdateProver
+    from risc0_tpu.zkvm.receipt import SegmentReceipt
+    from risc0_tpu.zkvm.recursion_driver import lift_povw
+
+    job = PovwJobId(log=LOG, job=3)
+    env = ExecutorEnv(segment_po2=16, povw_job_id=job).write_slice(
+        (100).to_bytes(4, "little"))
+    elf = open("/root/repo/guests/loop.bin", "rb").read()
+    session = ExecutorImpl(env, elf).run()
+    seg = session.segments[0]
+    seal = prove_segment(seg)
+    verify_rv32im_seal(seal)
+    sr = SegmentReceipt(seal=np.asarray(seal, np.uint32), index=0,
+                        hashfn="poseidon2", claim=decode_claim(seal))
+    work_receipt = lift_povw(sr)
+
+    prover = WorkLogUpdateProver(log_id=LOG)
+    journal, receipt = prover.prove_update([work_receipt])
+    assert journal.update_value == 1 << 16
+    # the journal receipt must be a real proven receipt, not a FakeReceipt
+    assert receipt.inner.kind != "fake"
+    receipt.verify(prover.journal_prover.image_id())
