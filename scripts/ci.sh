@@ -19,7 +19,8 @@ echo "== unit + integration tests =="
 python -m pytest tests/ -x -q
 
 echo "== example smoke (dev-mode receipts) =="
-for ex in hello_world factors sha ecdsa composition; do
+for ex in hello_world factors sha ecdsa composition \
+         password_checker prorata prover_api bonsai_remote; do
   echo "-- examples/$ex.py"
   python "examples/$ex.py" >/dev/null
 done
