@@ -32,9 +32,13 @@ class Rv32imCircuitHal:
     _fns = {}   # po2 -> jitted full-domain runner
     _plan = None
 
-    def __init__(self, circuit, chunk=1 << 13):
+    def __init__(self, circuit, chunk=None):
         self.circuit = circuit
-        self.chunk = chunk
+        # chunk T trades per-chunk device occupancy against register-file
+        # memory (ir_range runs lax.map over domain/T chunks); tunable for
+        # on-chip A/B via RISC0_TPU_EVAL_CHUNK
+        self.chunk = chunk or int(os.environ.get("RISC0_TPU_EVAL_CHUNK",
+                                                 str(1 << 13)))
         if Rv32imCircuitHal._plan is None:
             from .. import ir_range
             Rv32imCircuitHal._plan = ir_range.build_range_plan(circuit)
