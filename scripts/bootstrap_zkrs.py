@@ -119,13 +119,13 @@ def seg_step(po2, povw=False, n_segments=1, fill=0.70):
         out.append(SegmentReceipt(seal=np.asarray(seal, np.uint32), index=seg.index,
                                   hashfn="poseidon2",
                                   claim=decode_claim(seal)))
-    return (out, session) if povw else out
+    return out
 
 
 def lift_step(segs, povw=False, index=0):
     from risc0_tpu.zkvm import recursion_driver as RD
 
-    sr = segs[index] if not povw else segs[0][index]
+    sr = segs[index]
     receipt = RD.lift_povw(sr) if povw else RD.lift(sr)
     receipt.verify_integrity(_ctx())
     return receipt
