@@ -164,9 +164,21 @@ def conditional_step(po2=16, povw=False):
     seg = session.segments[0]
     seal = prove_segment(seg, rng=rng)
     verify_rv32im_seal(seal)
+    # resolve needs the claim's Output UNPRUNED (assumption list visible),
+    # so build the session-derived claim instead of decoding the (pruned)
+    # seal globals; digests must agree.
+    from risc0_tpu.zkvm.claims import ExitCode
+    from risc0_tpu.zkvm.receipt import segment_claim, session_segment_output
+    kind, *rest = session.exit_code
+    sess_exit = ExitCode(kind, rest[0] if rest else 0)
+    claim = segment_claim(seg, True, sess_exit,
+                          session_segment_output(session))
+    dec = decode_claim(seal)
+    assert np.array_equal(claim.digest(), dec.digest()), \
+        "session-derived claim != seal claim"
     return [SegmentReceipt(seal=np.asarray(seal, np.uint32),
                            index=seg.index, hashfn="poseidon2",
-                           claim=decode_claim(seal))]
+                           claim=claim)]
 
 
 def keccak_step(po2):
