@@ -839,8 +839,11 @@ bool Machine::ecall_sha2() {
   auto sha_step = [&](CycleState next) {
     inc_cycles(1);
     if (rec) {
-      uint32_t st[10] = {state_in * 4, state_out * 4, data_addr * 4, count,
-                         k_addr * 4, round, (uint32_t)next, cur_a, cur_e,
+      // WORD addresses, matching the reference Sha2State (WordAddr
+      // fields, execute/sha2.rs:31-43) — the witgen injector and the
+      // preflight node-idx math both consume word addresses
+      uint32_t st[10] = {state_in, state_out, data_addr, count,
+                         k_addr, round, (uint32_t)next, cur_a, cur_e,
                          cur_w};
       rec->on_sha_cycle(*this, cur_state, st);
     }

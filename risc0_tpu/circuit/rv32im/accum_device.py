@@ -49,12 +49,18 @@ INVALID = np.uint32(0xFFFFFFFF)
  B_EINV, B_EMULS, B_EFROMVAL, B_ECONST, B_EEQZ, B_MOV, B_EMOV, B_EQZ,
  B_JZ, B_JMP, B_UNREACH) = range(28)
 
-# graph node kinds
+# graph node kinds (shared by the accum and exec translators)
 (K, DATA, GLOB, MIXIN, STATE, ADD, SUB, NEG, MUL, INV, ENC, DEC, ISZ,
- INRANGE, NZ, EQZB, AND, OR, NOT, SEL) = range(20)
+ INRANGE, NZ, EQZB, AND, OR, NOT, SEL,
+ # exec-only kinds (exec_device.py): cycle columns, row index, dynamic
+ # gathers, histogram reads, bitwise/integer ops, rv32im divide
+ CYC, ROWIDX, INIT, ROLLINIT, GLOBIN, TXNG, CYCG, BIGG, HISTG,
+ BAND, SHRI, MODU, XDIVQ, XDIVR, PAIR16, IADD, EQU) = range(37)
 
 _KIND_NAMES = ("K DATA GLOB MIXIN STATE ADD SUB NEG MUL INV ENC DEC ISZ "
-               "INRANGE NZ EQZB AND OR NOT SEL").split()
+               "INRANGE NZ EQZB AND OR NOT SEL "
+               "CYC ROWIDX INIT ROLLINIT GLOBIN TXNG CYCG BIGG HISTG "
+               "BAND SHRI MODU XDIVQ XDIVR PAIR16 IADD EQU").split()
 
 NUM_ACCUM = 103
 USER_SPLIT = 23

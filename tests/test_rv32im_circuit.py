@@ -271,3 +271,30 @@ def test_range_eval_check_matches_plan_oracle():
     assert ir_range.plan_buf_ids(rp) == [0, 1]
     got = np.asarray(fn((accum, data), gv_r, pm))
     assert np.array_equal(got, expected)
+
+
+@pytest.mark.skipif(not os.environ.get("RISC0_TPU_SLOW_TESTS"),
+                    reason="full prove of a SHA-accelerator segment")
+def test_prove_verify_sha_accelerator_segment():
+    """e2e over a guest that drives the SHA-256 accelerator ecall: the
+    witgen sha back-state records word addresses (csrc/r0vm.cpp sha_step;
+    reference execute/sha2.rs WordAddr fields) — this segment was
+    unprovable before round 5."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent /
+                           "examples"))
+    from sha import build_guest
+
+    from risc0_tpu.circuit.rv32im.prove import prove_segment
+    from risc0_tpu.circuit.rv32im.verify import verify_rv32im_seal
+    from risc0_tpu.zkvm.exec import ExecutorEnv, ExecutorImpl
+
+    msg = b"sha accelerator proving vector " * 2
+    elf = build_guest(len(msg))
+    env = ExecutorEnv(segment_po2=16).write_slice(msg)
+    seg = ExecutorImpl(env, elf).run().segments[0]
+    seal = prove_segment(seg, rng=np.random.default_rng(2))
+    out = verify_rv32im_seal(seal)
+    assert len(out) == 90
