@@ -674,3 +674,495 @@ def witgen_exec_np(seg, rand_z=(1, 0, 0, 0), pf=None):
 
     return {"data": data, "global": glob_out, "tables_u8": hist8_full,
             "tables_u16": hist16_full, "preflight": pf, "rows": rows}
+
+
+# ---------------------------------------------------------------------------
+# Device (jnp) executor
+# ---------------------------------------------------------------------------
+
+class ExecPlan:
+    """Grouped register-file plan for a set of exec-graph outputs.
+
+    Input rows: consts | cyc fields | rowidx | glob scalars | init col
+    slices | rollinit slices | hist-independent; TXNG/CYCG/BIGG/HISTG are
+    dynamic-gather groups reading auxiliary arrays with per-row indices."""
+
+    INPUT_KINDS = (K, CYC, ROWIDX, GLOBIN, INIT, ROLLINIT)
+
+    def __init__(self, eg, outputs):
+        g = eg.g
+        live = set()
+        stack = list(outputs)
+        while stack:
+            i = stack.pop()
+            if i in live:
+                continue
+            live.add(i)
+            stack.extend(_deps(g, i))
+        order = sorted(live)
+        level = {}
+        for i in order:
+            level[i] = 1 + max((level[d] for d in _deps(g, i)), default=0)
+
+        row = {}
+        self.const_vals = np.asarray(
+            [g.kval(i) for i in order if g.nodes[i][0] == K], np.uint32)
+        for i in order:
+            if g.nodes[i][0] == K:
+                row[i] = len(row)
+
+        self.cyc_start = len(row)
+        self.cyc_fields = []
+        for i in order:
+            if g.nodes[i][0] == CYC:
+                row[i] = len(row)
+                self.cyc_fields.append(g.nodes[i][1])
+
+        self.rowidx_row = None
+        for i in order:
+            if g.nodes[i][0] == ROWIDX:
+                self.rowidx_row = len(row)
+                row[i] = len(row)
+
+        self.glob_start = len(row)
+        self.glob_cols = []
+        for i in order:
+            if g.nodes[i][0] == GLOBIN:
+                row[i] = len(row)
+                self.glob_cols.append(g.nodes[i][1])
+
+        # init/rollinit rows GROUPED by back offset: each distinct back
+        # becomes one shifted window slice of the padded init matrix per
+        # chunk (9 distinct backs in the rv32im exec program)
+        self.init_start = len(row)
+        by_back = {}
+        for i in order:
+            kind, a, b, _c = g.nodes[i]
+            if kind == INIT:
+                by_back.setdefault(0, []).append((a, i))
+            elif kind == ROLLINIT:
+                by_back.setdefault(b, []).append((a, i))
+        self.init_groups = []          # (back, cols_array, file_row_start)
+        self.init_specs = []           # flat (col, back) in file order
+        for back in sorted(by_back):
+            entries = sorted(by_back[back])
+            start = len(row)
+            cols = []
+            for col, i in entries:
+                row[i] = len(row)
+                cols.append(col)
+                self.init_specs.append((col, back))
+            self.init_groups.append((back, np.asarray(cols, np.int32),
+                                     start))
+
+        groups = {}
+        for i in order:
+            kind = g.nodes[i][0]
+            if kind in self.INPUT_KINDS:
+                continue
+            groups.setdefault((level[i], kind), []).append(i)
+
+        n_args = {ADD: 2, SUB: 2, MUL: 2, AND: 2, OR: 2, NEG: 1, INV: 1,
+                  ENC: 1, DEC: 1, ISZ: 1, NZ: 1, EQZB: 1, NOT: 1,
+                  INRANGE: 3, SEL: 3, BAND: 2, MODU: 2, IADD: 2, EQU: 2,
+                  PAIR16: 2, SHRI: 1, TXNG: 1, CYCG: 1, BIGG: 1, HISTG: 1,
+                  XDIVQ: 3, XDIVR: 3}
+        self.groups = []
+        for (lv, kind), members in sorted(groups.items()):
+            dst = len(row)
+            for i in members:
+                row[i] = len(row)
+            opnds = [np.asarray([row[_deps(g, i)[s]] for i in members],
+                                np.int32) for s in range(n_args[kind])]
+            # immediates (SHRI shift / TXNG field / BIGG offset / HISTG
+            # table) ride in the node's b field
+            imms = np.asarray([g.nodes[i][2] for i in members], np.int32)
+            self.groups.append((kind, dst, len(members), opnds, imms))
+
+        self.n_rows = len(row)
+        self.out_rows = np.asarray([row[i] for i in outputs], np.int32)
+
+
+def _exec_group_compute(kind, ops_v, imms, aux):
+    import jax.numpy as jnp
+
+    from .accum_device import _group_compute
+
+    if kind == TXNG:
+        idx = jnp.minimum(ops_v[0], jnp.uint32(aux["ntxn"] - 1))
+        # imms = txn field per member; gather per distinct field
+        out = []
+        for j, f in enumerate(imms):
+            out.append(jnp.take(aux["txns"][int(f)], idx[j],
+                                mode="clip"))
+        return jnp.stack(out)
+    if kind == CYCG:
+        cu = ops_v[0]
+        r = jnp.minimum(cu // 2, jnp.uint32(aux["rows"] - 1))
+        d0 = jnp.take(aux["cyc_d0"], r, mode="clip")
+        d1 = jnp.take(aux["cyc_d1"], r, mode="clip")
+        return jnp.where((cu % 2) == 0, d0, d1)
+    if kind == BIGG:
+        idx = ops_v[0] + jnp.asarray(imms, jnp.uint32)[:, None]
+        idx = jnp.minimum(idx, jnp.uint32(len(aux["bigint"]) - 1))
+        return jnp.take(aux["bigint"], idx, mode="clip")
+    if kind == HISTG:
+        out = []
+        for j, t in enumerate(imms):
+            h = aux["hist8"] if int(t) == 8 else aux["hist16"]
+            idx = jnp.minimum(ops_v[0][j], jnp.uint32(len(h) - 1))
+            out.append(jnp.take(h, idx, mode="clip"))
+        return jnp.stack(out)
+    if kind == BAND:
+        return ops_v[0] & ops_v[1]
+    if kind == SHRI:
+        return ops_v[0] >> jnp.asarray(imms, jnp.uint32)[:, None]
+    if kind == MODU:
+        b = ops_v[1]
+        return jnp.where(b != 0, ops_v[0] % jnp.maximum(b, 1),
+                         jnp.uint32(0))
+    if kind == IADD:
+        return ops_v[0] + ops_v[1]
+    if kind == EQU:
+        return (ops_v[0] == ops_v[1]).astype(jnp.uint32)
+    if kind == PAIR16:
+        return ops_v[0] | (ops_v[1] << jnp.uint32(16))
+    if kind in (XDIVQ, XDIVR):
+        q, r = _divide_jnp(ops_v[0], ops_v[1], ops_v[2])
+        return q if kind == XDIVQ else r
+    return _group_compute(kind, ops_v)
+
+
+def _divide_jnp(numer, denom, sign):
+    import jax.numpy as jnp
+
+    u32 = jnp.uint32
+    ones = (sign == 2).astype(u32)
+    neg_n = (sign != 0) & (numer.astype(jnp.int32) < 0)
+    neg_d = (sign == 1) & (denom.astype(jnp.int32) < 0)
+    n = jnp.where(neg_n, (u32(0) - numer) - ones, numer)
+    d = jnp.where(neg_d, (u32(0) - denom) - ones, denom)
+    dz = d == 0
+    dd = jnp.maximum(d, u32(1))
+    quot = jnp.where(dz, u32(0xFFFFFFFF), n // dd)
+    rem = jnp.where(dz, n, n % dd)
+    quot_neg = (neg_n ^ neg_d).astype(u32) - (dz & neg_n).astype(u32)
+    quot = jnp.where(quot_neg != 0, (u32(0) - quot) - ones, quot)
+    rem = jnp.where(neg_n, (u32(0) - rem) - ones, rem)
+    return quot, rem
+
+
+def _run_exec_plan(plan, cycles_t, glob_init, init_full, aux, chunk):
+    """Evaluate a plan over all rows via fori_loop of register-file
+    chunks.  cycles_t: (11, rows).  init_full: (n_init_specs, rows)
+    (pre-rolled).  Returns (n_out, rows)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rows = cycles_t.shape[1]
+    n_chunks = rows // chunk
+    consts = jnp.asarray(plan.const_vals)
+    nk = len(plan.const_vals)
+    cyc_sel = jnp.asarray(plan.cyc_fields, jnp.int32) \
+        if plan.cyc_fields else None
+    glob_sel = jnp.asarray(plan.glob_cols, jnp.int32) \
+        if plan.glob_cols else None
+    out = jnp.zeros((len(plan.out_rows), rows), jnp.uint32)
+
+    def body(i, out):
+        file = jnp.zeros((plan.n_rows, chunk), jnp.uint32)
+        if nk:
+            file = lax.dynamic_update_slice(
+                file, jnp.broadcast_to(consts[:, None], (nk, chunk)),
+                (0, 0))
+        if cyc_sel is not None:
+            c = lax.dynamic_slice(cycles_t, (0, i * chunk), (11, chunk))
+            file = lax.dynamic_update_slice(file, c[cyc_sel],
+                                            (plan.cyc_start, 0))
+        if plan.rowidx_row is not None:
+            ridx = (jnp.arange(chunk, dtype=jnp.uint32) +
+                    (i * chunk).astype(jnp.uint32))
+            file = lax.dynamic_update_slice(file, ridx[None, :],
+                                            (plan.rowidx_row, 0))
+        if glob_sel is not None:
+            file = lax.dynamic_update_slice(
+                file, jnp.broadcast_to(glob_init[glob_sel][:, None],
+                                       (len(plan.glob_cols), chunk)),
+                (plan.glob_start, 0))
+        if len(plan.init_specs):
+            ini = lax.dynamic_slice(
+                init_full, (0, i * chunk), (init_full.shape[0], chunk))
+            file = lax.dynamic_update_slice(file, ini,
+                                            (plan.init_start, 0))
+        for kind, dst, _n, opnds, imms in plan.groups:
+            vals = _exec_group_compute(kind, [file[ix] for ix in opnds],
+                                       imms, aux)
+            file = lax.dynamic_update_slice(file, vals, (dst, 0))
+        return lax.dynamic_update_slice(out, file[plan.out_rows],
+                                        (0, i * chunk))
+
+    return jax.lax.fori_loop(0, n_chunks, body, out)
+
+
+_MAXBACK = 68
+
+
+def _plans_exec():
+    eg = exec_graph()
+    if not hasattr(eg, "_plans"):
+        p1o = []
+        for m8, m16, idx, _pc in eg.delta_sites:
+            p1o += [m8, m16, idx]
+        p2o = list(eg.data_cols) + [eg.bad]
+        for _col, cond, val in eg.glob_sites:
+            p2o += [cond, val]
+        eg._plans = {"p1": ExecPlan(eg, p1o), "p2": ExecPlan(eg, p2o)}
+    return eg, eg._plans
+
+
+def _init_from_inputs(cycles_t, accel_cols, accel_rows, accel_vals, inj):
+    """Build the injected data matrix ON DEVICE (reference
+    prove/witgen/mod.rs:330-386 Injector): dense stateful columns from
+    the preflight cycles + one flat scatter for the accelerator
+    back-state."""
+    import jax.numpy as jnp
+
+    rows = cycles_t.shape[1]
+    init = jnp.zeros((NUM_DATA, rows), jnp.uint32)
+    init = init.at[inj["cycle"]].set(jnp.arange(rows, dtype=jnp.uint32))
+    init = init.at[inj["next_pc_low"]].set(cycles_t[1] & 0xFFFF)
+    init = init.at[inj["next_pc_high"]].set(cycles_t[1] >> 16)
+    init = init.at[inj["next_state"]].set(cycles_t[0])
+    init = init.at[inj["next_machine_mode"]].set(cycles_t[4])
+    init = init.at[(accel_cols, accel_rows)].set(accel_vals)
+    return init
+
+
+def _accel_coo(pf, rows, meta):
+    """Host-side compact (cols, rows, vals) triples for the accelerator
+    back-state (the sparse part of witgen.inject)."""
+    inj = meta["inject"]
+    kinds = pf["back_kind"]
+    offs = pf["back_offset"]
+    back = pf["back_data"]
+    cols_l, rows_l, vals_l = [], [], []
+
+    def add(cols, rws, vals):
+        n = len(rws)
+        for i, col in enumerate(cols):
+            cols_l.append(np.full(n, col, np.int32))
+            rows_l.append(rws.astype(np.int32))
+            vals_l.append(vals[i])
+
+    ecall = np.nonzero(kinds == 1)[0]
+    if len(ecall):
+        o = offs[ecall]
+        add([inj["ecall_s0"], inj["ecall_s1"], inj["ecall_s2"]], ecall,
+            [back[o], back[o + 1], back[o + 2]])
+    p2r = np.nonzero(kinds == 3)[0]
+    if len(p2r):
+        o = offs[p2r]
+        add(inj["p2_state"], p2r,
+            [back[o + i] for i in range(len(inj["p2_state"]))])
+    shar = np.nonzero(kinds == 2)[0]
+    if len(shar):
+        o = offs[shar]
+        add(inj["sha_fp"], shar,
+            [back[o + i] for i in range(len(inj["sha_fp"]))])
+        for i, col in enumerate(inj["sha_u32"]):
+            word = back[o + 7 + i]
+            add([col + b for b in range(32)], shar,
+                [(word >> b) & 1 for b in range(32)])
+    bir = np.nonzero(kinds == 4)[0]
+    if len(bir):
+        o = offs[bir]
+        add(inj["bigint_state"], bir,
+            [back[o + i] for i in range(len(inj["bigint_state"]))])
+    if not cols_l:
+        return (np.zeros(1, np.int32), np.zeros(1, np.int32),
+                np.zeros(1, np.uint32))
+    return (np.concatenate(cols_l), np.concatenate(rows_l),
+            np.concatenate([np.asarray(v, np.uint32) for v in vals_l]))
+
+
+def _exec_pipeline(cycles_t, glob_init, txns_t, bigint, accel_cols,
+                   accel_rows, accel_vals, inj, chunk, split):
+    """Full device exec: init scatter -> pass 1 (histograms) -> pass 2.
+    Returns (data (211, rows) std u32, glob sites matrix, bad scalar,
+    hist8_full, hist16_full)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    eg, plans = _plans_exec()
+    rows = cycles_t.shape[1]
+    init = _init_from_inputs(cycles_t, accel_cols, accel_rows, accel_vals,
+                             inj)
+    init_pad = jnp.concatenate([init[:, rows - _MAXBACK:], init], axis=1)
+    aux = {
+        "txns": txns_t, "ntxn": txns_t.shape[1], "bigint": bigint,
+        "rows": rows, "cyc_d0": cycles_t[9], "cyc_d1": cycles_t[10],
+        "hist8": jnp.zeros(256, jnp.uint32),
+        "hist16": jnp.zeros(65536, jnp.uint32),
+    }
+    body_mask_split = jnp.uint32(split)
+
+    def chunk_file(plan, i, aux):
+        file = jnp.zeros((plan.n_rows, chunk), jnp.uint32)
+        nk = len(plan.const_vals)
+        if nk:
+            file = lax.dynamic_update_slice(
+                file, jnp.broadcast_to(
+                    jnp.asarray(plan.const_vals)[:, None], (nk, chunk)),
+                (0, 0))
+        if plan.cyc_fields:
+            c = lax.dynamic_slice(cycles_t, (0, i * chunk), (11, chunk))
+            file = lax.dynamic_update_slice(
+                file, c[jnp.asarray(plan.cyc_fields, jnp.int32)],
+                (plan.cyc_start, 0))
+        if plan.rowidx_row is not None:
+            ridx = (jnp.arange(chunk, dtype=jnp.uint32) +
+                    jnp.uint32(i * chunk))
+            file = lax.dynamic_update_slice(file, ridx[None, :],
+                                            (plan.rowidx_row, 0))
+        if plan.glob_cols:
+            gsel = jnp.asarray(plan.glob_cols, jnp.int32)
+            file = lax.dynamic_update_slice(
+                file, jnp.broadcast_to(glob_init[gsel][:, None],
+                                       (len(plan.glob_cols), chunk)),
+                (plan.glob_start, 0))
+        for back, cols, start in plan.init_groups:
+            win = lax.dynamic_slice(
+                init_pad[cols], (0, i * chunk + _MAXBACK - back),
+                (len(cols), chunk))
+            file = lax.dynamic_update_slice(file, win, (start, 0))
+        for kind, dst, _n, opnds, imms in plan.groups:
+            vals = _exec_group_compute(kind, [file[ix] for ix in opnds],
+                                       imms, aux)
+            file = lax.dynamic_update_slice(file, vals, (dst, 0))
+        return file
+
+    # ---- pass 1: histograms -------------------------------------------
+    p1 = plans["p1"]
+    n_sites = len(eg.delta_sites)
+    site_pc = np.asarray([pc for _m8, _m16, _i, pc in eg.delta_sites])
+    late = jnp.asarray((site_pc >= eg.first_current_pc), bool)
+
+    def p1_body(i, carry):
+        h8, h16, h8f, h16f = carry
+        file = chunk_file(p1, i, aux)
+        outs = file[p1.out_rows].reshape(n_sites, 3, chunk)
+        m8 = outs[:, 0] != 0
+        m16 = outs[:, 1] != 0
+        idx = outs[:, 2]
+        # CURRENT-read view: body-row deltas always; table-region deltas
+        # only from sites before the first CURRENT in program order
+        ridx = (jnp.arange(chunk, dtype=jnp.uint32) + jnp.uint32(i * chunk))
+        body_rows = (ridx < body_mask_split)[None, :]
+        m8r = m8 & (body_rows | ~late[:, None])
+        m16r = m16 & (body_rows | ~late[:, None])
+        i8 = (idx & 0xFF).reshape(-1)
+        i16 = (idx & 0xFFFF).reshape(-1)
+        h8f = h8f.at[i8].add(m8.reshape(-1).astype(jnp.uint32))
+        h16f = h16f.at[i16].add(m16.reshape(-1).astype(jnp.uint32))
+        h8 = h8.at[i8].add(m8r.reshape(-1).astype(jnp.uint32))
+        h16 = h16.at[i16].add(m16r.reshape(-1).astype(jnp.uint32))
+        return h8, h16, h8f, h16f
+
+    zeros = (jnp.zeros(256, jnp.uint32), jnp.zeros(65536, jnp.uint32),
+             jnp.zeros(256, jnp.uint32), jnp.zeros(65536, jnp.uint32))
+    h8, h16, h8f, h16f = lax.fori_loop(0, rows // chunk, p1_body, zeros)
+    aux = dict(aux, hist8=h8, hist16=h16)
+
+    # ---- pass 2: full witness -----------------------------------------
+    p2 = plans["p2"]
+
+    def p2_body(i, out):
+        file = chunk_file(p2, i, aux)
+        return lax.dynamic_update_slice(out, file[p2.out_rows],
+                                        (0, i * chunk))
+
+    out = jnp.zeros((len(p2.out_rows), rows), jnp.uint32)
+    out = lax.fori_loop(0, rows // chunk, p2_body, out)
+
+    data = out[:NUM_DATA]
+    bad = jnp.sum(out[NUM_DATA], dtype=jnp.uint32)
+    glob_rows = out[NUM_DATA + 1:]
+    return data, glob_rows, bad, h8f, h16f
+
+
+_DEVICE_FNS = {}
+
+
+def witgen_exec_device(seg, rand_z=(1, 0, 0, 0), pf=None, chunk=2048):
+    """Device exec witgen; same result dict as witgen.witgen_exec with
+    `data` left as a DEVICE array (standard form)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ...hal.trace_cache import TraceCached, fingerprint
+    from .witgen import _load_meta, _update_p2_zcheck, build_global
+
+    eg, plans = _plans_exec()
+    meta = _load_meta()
+    if pf is None:
+        from ...zkvm.exec import preflight_segment
+        pf = preflight_segment(seg)
+    _update_p2_zcheck(pf, rand_z)
+    rows = len(pf["cycles"])
+    glob = build_global(seg, rand_z)
+    glob_init = np.where(glob == INVALID, 0, glob)
+    cycles_t = np.ascontiguousarray(pf["cycles"].T)
+    txns = pf["txns"]
+    txns_t = np.ascontiguousarray(
+        txns.T if len(txns) else np.zeros((5, 1), np.uint32))
+    bigint = np.ascontiguousarray(pf.get(
+        "bigint_bytes", np.zeros(0, np.uint32)))
+    if len(bigint) == 0:
+        bigint = np.zeros(16, np.uint32)
+    accel_cols, accel_rows, accel_vals = _accel_coo(pf, rows, meta)
+    inj = {k: meta["inject"][k] for k in
+           ("cycle", "next_pc_low", "next_pc_high", "next_state",
+            "next_machine_mode")}
+    split = int(pf["table_split_cycle"])
+
+    key = (rows, chunk, txns_t.shape[1], len(bigint), len(accel_cols),
+           split)
+    fn = _DEVICE_FNS.get(key)
+    if fn is None:
+        from functools import partial
+
+        @jax.jit
+        def run(cycles_t, glob_init, txns_t, bigint, a_cols, a_rows,
+                a_vals):
+            return _exec_pipeline(cycles_t, glob_init, txns_t, bigint,
+                                  a_cols, a_rows, a_vals, inj, chunk,
+                                  split)
+
+        fn = TraceCached(run, key=fingerprint(
+            "exec_device", rows, chunk, txns_t.shape[1], len(bigint),
+            len(accel_cols), split, len(eg.g.nodes)),
+            label=f"exec_dev_{rows}")
+        _DEVICE_FNS[key] = fn
+
+    data, glob_rows, bad, h8, h16 = fn(
+        jnp.asarray(cycles_t), jnp.asarray(glob_init),
+        jnp.asarray(txns_t), jnp.asarray(bigint),
+        jnp.asarray(accel_cols), jnp.asarray(accel_rows),
+        jnp.asarray(accel_vals))
+    if int(np.asarray(bad)) != 0:
+        raise RuntimeError(
+            f"exec device eval: {int(np.asarray(bad))} rows failed "
+            "in-circuit checks (run host witgen_exec for diagnostics)")
+
+    glob_np = np.asarray(glob_rows)
+    glob_out = glob_init.copy()
+    for si, (col, _cond, _val) in enumerate(eg.glob_sites):
+        m = glob_np[2 * si] != 0
+        if m.any():
+            glob_out[col] = glob_np[2 * si + 1][int(np.argmax(m))]
+
+    return {"data": data, "global": glob_out,
+            "tables_u8": np.asarray(h8), "tables_u16": np.asarray(h16),
+            "preflight": pf, "rows": rows}

@@ -13,6 +13,7 @@ import os
 import numpy as np
 
 from ... import field as F
+from ... import perf
 from ...hash.suite import POSEIDON2
 from ...prove.prover import Prover
 from ...taps import (REGISTER_GROUP_ACCUM, REGISTER_GROUP_CODE,
@@ -78,7 +79,6 @@ def segment_preflight(seg, rand_z=None, rng=None):
     if rand_z is None:
         rand_z = tuple(int(x) for x in rng.integers(0, F.P, 4))
 
-    from ... import perf
     with perf.scope("witgen_exec"):
         return witgen_exec(seg, rand_z=rand_z)
 
