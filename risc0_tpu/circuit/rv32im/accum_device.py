@@ -943,7 +943,13 @@ def witgen_accum_device(res, mix, chunk=2048):
     cols = sorted({c for c, _b in (k for k, _n in ag.data_taps)})
     col_idx = {c: p for p, c in enumerate(cols)}
     data = res["data"]
-    data_sel = np.ascontiguousarray(data[cols])
+    if isinstance(data, np.ndarray):
+        data_sel = np.ascontiguousarray(data[cols])
+    else:
+        # device-resident witness (exec_device path): gather on device,
+        # no host round-trip
+        import jax.numpy as jnp
+        data_sel = data[jnp.asarray(cols)]
 
     key = (rows, chunk)
     fn = _DEVICE_FNS.get(key)

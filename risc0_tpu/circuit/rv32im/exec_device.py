@@ -755,20 +755,40 @@ class ExecPlan:
             self.init_groups.append((back, np.asarray(cols, np.int32),
                                      start))
 
-        groups = {}
-        for i in order:
-            kind = g.nodes[i][0]
-            if kind in self.INPUT_KINDS:
-                continue
-            groups.setdefault((level[i], kind), []).append(i)
-
+        # greedy wavefront packing: a node joins its kind's most recent
+        # open group when every operand was computed in an earlier group
+        # — merges independent same-kind work across levels (the
+        # (level, kind) scheme produced ~7.5k groups for the exec graph;
+        # this yields far fewer, larger device ops)
         n_args = {ADD: 2, SUB: 2, MUL: 2, AND: 2, OR: 2, NEG: 1, INV: 1,
                   ENC: 1, DEC: 1, ISZ: 1, NZ: 1, EQZB: 1, NOT: 1,
                   INRANGE: 3, SEL: 3, BAND: 2, MODU: 2, IADD: 2, EQU: 2,
                   PAIR16: 2, SHRI: 1, TXNG: 1, CYCG: 1, BIGG: 1, HISTG: 1,
                   XDIVQ: 3, XDIVR: 3}
+        import bisect
+
+        glist = []          # [(kind, [members])]
+        by_kind = {}        # kind -> sorted group indices
+        node_grp = {}       # node -> group index (inputs: -1)
+        for i in order:
+            kind = g.nodes[i][0]
+            if kind in self.INPUT_KINDS:
+                node_grp[i] = -1
+                continue
+            g_req = max((node_grp[d] for d in _deps(g, i)), default=-1)
+            lst = by_kind.setdefault(kind, [])
+            pos = bisect.bisect_right(lst, g_req)
+            if pos < len(lst):
+                gi = lst[pos]       # earliest valid group of this kind
+            else:
+                gi = len(glist)
+                glist.append((kind, []))
+                lst.append(gi)
+            glist[gi][1].append(i)
+            node_grp[i] = gi
+
         self.groups = []
-        for (lv, kind), members in sorted(groups.items()):
+        for kind, members in glist:
             dst = len(row)
             for i in members:
                 row[i] = len(row)
@@ -988,6 +1008,8 @@ def _accel_coo(pf, rows, meta):
 
 def _exec_pipeline(cycles_t, glob_init, txns_t, bigint, accel_cols,
                    accel_rows, accel_vals, inj, chunk, split):
+    # `split` is a traced scalar (device input), NOT baked into the graph
+    # — it differs per segment and must not force recompiles
     """Full device exec: init scatter -> pass 1 (histograms) -> pass 2.
     Returns (data (211, rows) std u32, glob sites matrix, bad scalar,
     hist8_full, hist16_full)."""
@@ -1006,7 +1028,7 @@ def _exec_pipeline(cycles_t, glob_init, txns_t, bigint, accel_cols,
         "hist8": jnp.zeros(256, jnp.uint32),
         "hist16": jnp.zeros(65536, jnp.uint32),
     }
-    body_mask_split = jnp.uint32(split)
+    body_mask_split = split.astype(jnp.uint32)
 
     def chunk_file(plan, i, aux):
         file = jnp.zeros((plan.n_rows, chunk), jnp.uint32)
@@ -1127,22 +1149,46 @@ def witgen_exec_device(seg, rand_z=(1, 0, 0, 0), pf=None, chunk=2048):
             "next_machine_mode")}
     split = int(pf["table_split_cycle"])
 
-    key = (rows, chunk, txns_t.shape[1], len(bigint), len(accel_cols),
-           split)
+    # bucket the variable-length inputs to powers of two so per-segment
+    # size jitter never forces a recompile: txns pad with copies of the
+    # last transaction (gathers past the live cursor are masked), the
+    # accel coo pads by repeating its first entry (idempotent scatter)
+    def _bucket(n):
+        b = 1
+        while b < n:
+            b <<= 1
+        return b
+
+    nt = _bucket(txns_t.shape[1])
+    if txns_t.shape[1] < nt:
+        pad = np.repeat(txns_t[:, -1:], nt - txns_t.shape[1], axis=1)
+        txns_t = np.concatenate([txns_t, pad], axis=1)
+    nb = _bucket(len(bigint))
+    if len(bigint) < nb:
+        bigint = np.concatenate(
+            [bigint, np.zeros(nb - len(bigint), np.uint32)])
+    na = _bucket(len(accel_cols))
+    if len(accel_cols) < na:
+        reps = na - len(accel_cols)
+        accel_cols = np.concatenate(
+            [accel_cols, np.repeat(accel_cols[:1], reps)])
+        accel_rows = np.concatenate(
+            [accel_rows, np.repeat(accel_rows[:1], reps)])
+        accel_vals = np.concatenate(
+            [accel_vals, np.repeat(accel_vals[:1], reps)])
+
+    key = (rows, chunk, nt, nb, na)
     fn = _DEVICE_FNS.get(key)
     if fn is None:
-        from functools import partial
-
         @jax.jit
         def run(cycles_t, glob_init, txns_t, bigint, a_cols, a_rows,
-                a_vals):
+                a_vals, split):
             return _exec_pipeline(cycles_t, glob_init, txns_t, bigint,
                                   a_cols, a_rows, a_vals, inj, chunk,
                                   split)
 
         fn = TraceCached(run, key=fingerprint(
-            "exec_device", rows, chunk, txns_t.shape[1], len(bigint),
-            len(accel_cols), split, len(eg.g.nodes)),
+            "exec_device", rows, chunk, nt, nb, na, len(eg.g.nodes)),
             label=f"exec_dev_{rows}")
         _DEVICE_FNS[key] = fn
 
@@ -1150,7 +1196,7 @@ def witgen_exec_device(seg, rand_z=(1, 0, 0, 0), pf=None, chunk=2048):
         jnp.asarray(cycles_t), jnp.asarray(glob_init),
         jnp.asarray(txns_t), jnp.asarray(bigint),
         jnp.asarray(accel_cols), jnp.asarray(accel_rows),
-        jnp.asarray(accel_vals))
+        jnp.asarray(accel_vals), jnp.asarray(split, dtype=jnp.uint32))
     if int(np.asarray(bad)) != 0:
         raise RuntimeError(
             f"exec device eval: {int(np.asarray(bad))} rows failed "

@@ -85,7 +85,19 @@ def segment_preflight(seg, rand_z=None, rng=None):
 
 def prove_segment(seg, suite=None, rand_z=None, rng=None, use_jit=True):
     """Prove one executed segment; returns the seal (uint32 words)."""
-    res = segment_preflight(seg, rand_z=rand_z, rng=rng)
+    if use_jit and os.environ.get("RISC0_TPU_DEVICE_EXEC") == "1":
+        # witness generation on the chip (exec_device.py): the data
+        # matrix is born on device — no host interpreter pass and no
+        # witness transfer.  Host keeps only the preflight re-emulation.
+        from .exec_device import witgen_exec_device
+
+        rng = rng or np.random.default_rng()
+        if rand_z is None:
+            rand_z = tuple(int(x) for x in rng.integers(0, F.P, 4))
+        with perf.scope("witgen_exec"):
+            res = witgen_exec_device(seg, rand_z=rand_z)
+    else:
+        res = segment_preflight(seg, rand_z=rand_z, rng=rng)
     return prove_segment_core(res, suite=suite, use_jit=use_jit)
 
 

@@ -91,3 +91,31 @@ def test_exec_device_agrees_on_corrupt_input():
         pytest.skip("corruption not rejected by the C++ oracle")
     with pytest.raises(RuntimeError, match="failed in-circuit checks"):
         E.witgen_exec_np(seg, rand_z=(5, 6, 7, 8), pf=dict(pf))
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RISC0_TPU_SLOW_TESTS"),
+    reason="big jit compile (7.5k-group chunk body)")
+def test_exec_device_jnp_matches_cpp():
+    """The jitted two-pass register-file executor matches the host C++
+    bit-exactly (data born on device).  Compiled-backend only: XLA:CPU's
+    LLVM JIT cannot allocate the code section for the 7.5k-group chunk
+    body ('Cannot allocate memory' with >100 GB free); the numpy
+    executor above is the CPU conformance anchor."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("XLA:CPU LLVM JIT cannot hold the exec chunk body")
+    from risc0_tpu.circuit.rv32im import exec_device as E
+    from risc0_tpu.circuit.rv32im.witgen import witgen_exec
+
+    elf = open("/root/repo/guests/loop.bin", "rb").read()
+    env = ExecutorEnv(segment_po2=16).write_slice((100).to_bytes(4,
+                                                                 "little"))
+    seg = ExecutorImpl(env, elf).run().segments[0]
+    want = witgen_exec(seg, rand_z=(5, 6, 7, 8))
+    got = E.witgen_exec_device(seg, rand_z=(5, 6, 7, 8))
+    assert np.array_equal(np.asarray(got["data"]), want["data"])
+    assert np.array_equal(got["global"], want["global"])
+    assert np.array_equal(got["tables_u8"], want["tables_u8"])
+    assert np.array_equal(got["tables_u16"], want["tables_u16"])
