@@ -1055,9 +1055,12 @@ def _exec_pipeline(cycles_t, glob_init, txns_t, bigint, accel_cols,
                                        (len(plan.glob_cols), chunk)),
                 (plan.glob_start, 0))
         for back, cols, start in plan.init_groups:
+            # slice the (small) chunk window first, then row-gather —
+            # gathering full columns inside the loop would re-read the
+            # whole init matrix every chunk
             win = lax.dynamic_slice(
-                init_pad[cols], (0, i * chunk + _MAXBACK - back),
-                (len(cols), chunk))
+                init_pad, (0, i * chunk + _MAXBACK - back),
+                (NUM_DATA, chunk))[cols]
             file = lax.dynamic_update_slice(file, win, (start, 0))
         for kind, dst, _n, opnds, imms in plan.groups:
             vals = _exec_group_compute(kind, [file[ix] for ix in opnds],
