@@ -937,7 +937,12 @@ def _plans_exec():
         p2o = list(eg.data_cols) + [eg.bad]
         for _col, cond, val in eg.glob_sites:
             p2o += [cond, val]
-        eg._plans = {"p1": ExecPlan(eg, p1o), "p2": ExecPlan(eg, p2o)}
+        p1 = ExecPlan(eg, p1o)
+        # the two-pass algorithm requires the delta sites (masks/indices)
+        # to be independent of the histograms they feed
+        assert all(k != HISTG for k, *_ in p1.groups), \
+            "lookup-delta sites must not depend on lookup-current reads"
+        eg._plans = {"p1": p1, "p2": ExecPlan(eg, p2o)}
     return eg, eg._plans
 
 
