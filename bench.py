@@ -223,9 +223,19 @@ def main():
                     env=dict(os.environ,
                              PYTHONPATH=f"{REPO}:"
                                         f"{os.environ.get('PYTHONPATH', '')}"))
-            except subprocess.TimeoutExpired:
-                _note(f"po2={po2} exceeded its {cap:.0f}s cap; keeping the "
-                      "last emitted line")
+            except subprocess.TimeoutExpired as e:
+                # the child may have printed its result line and then hung
+                # in relay teardown — keep a completed measurement
+                partial = e.stdout or ""
+                if isinstance(partial, bytes):
+                    partial = partial.decode(errors="replace")
+                line = next((ln for ln in reversed(partial.splitlines())
+                             if ln.startswith("{")), None)
+                if line:
+                    print(line, flush=True)
+                    emitted += 1
+                _note(f"po2={po2} exceeded its {cap:.0f}s cap"
+                      f"{' (result line salvaged)' if line else ''}")
                 timed_out = True  # a bigger size would also blow the budget
                 break
             line = next((ln for ln in reversed(r.stdout.splitlines())

@@ -951,6 +951,8 @@ def witgen_accum_device(res, mix, chunk=2048):
         import jax.numpy as jnp
         data_sel = data[jnp.asarray(cols)]
 
+    assert all(b in (0, 1) for (_c, b), _n in ag.data_taps), \
+        "device accum tap builder only handles back offsets 0/1"
     key = (rows, chunk)
     fn = _DEVICE_FNS.get(key)
     if fn is None:

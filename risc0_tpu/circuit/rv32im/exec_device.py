@@ -872,59 +872,6 @@ def _divide_jnp(numer, denom, sign):
     return quot, rem
 
 
-def _run_exec_plan(plan, cycles_t, glob_init, init_full, aux, chunk):
-    """Evaluate a plan over all rows via fori_loop of register-file
-    chunks.  cycles_t: (11, rows).  init_full: (n_init_specs, rows)
-    (pre-rolled).  Returns (n_out, rows)."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    rows = cycles_t.shape[1]
-    n_chunks = rows // chunk
-    consts = jnp.asarray(plan.const_vals)
-    nk = len(plan.const_vals)
-    cyc_sel = jnp.asarray(plan.cyc_fields, jnp.int32) \
-        if plan.cyc_fields else None
-    glob_sel = jnp.asarray(plan.glob_cols, jnp.int32) \
-        if plan.glob_cols else None
-    out = jnp.zeros((len(plan.out_rows), rows), jnp.uint32)
-
-    def body(i, out):
-        file = jnp.zeros((plan.n_rows, chunk), jnp.uint32)
-        if nk:
-            file = lax.dynamic_update_slice(
-                file, jnp.broadcast_to(consts[:, None], (nk, chunk)),
-                (0, 0))
-        if cyc_sel is not None:
-            c = lax.dynamic_slice(cycles_t, (0, i * chunk), (11, chunk))
-            file = lax.dynamic_update_slice(file, c[cyc_sel],
-                                            (plan.cyc_start, 0))
-        if plan.rowidx_row is not None:
-            ridx = (jnp.arange(chunk, dtype=jnp.uint32) +
-                    (i * chunk).astype(jnp.uint32))
-            file = lax.dynamic_update_slice(file, ridx[None, :],
-                                            (plan.rowidx_row, 0))
-        if glob_sel is not None:
-            file = lax.dynamic_update_slice(
-                file, jnp.broadcast_to(glob_init[glob_sel][:, None],
-                                       (len(plan.glob_cols), chunk)),
-                (plan.glob_start, 0))
-        if len(plan.init_specs):
-            ini = lax.dynamic_slice(
-                init_full, (0, i * chunk), (init_full.shape[0], chunk))
-            file = lax.dynamic_update_slice(file, ini,
-                                            (plan.init_start, 0))
-        for kind, dst, _n, opnds, imms in plan.groups:
-            vals = _exec_group_compute(kind, [file[ix] for ix in opnds],
-                                       imms, aux)
-            file = lax.dynamic_update_slice(file, vals, (dst, 0))
-        return lax.dynamic_update_slice(out, file[plan.out_rows],
-                                        (0, i * chunk))
-
-    return jax.lax.fori_loop(0, n_chunks, body, out)
-
-
 _MAXBACK = 68
 
 

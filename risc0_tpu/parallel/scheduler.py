@@ -248,9 +248,12 @@ class ProofJob:
         # PROVE_SEGMENT(core) task (reference ProverServer::
         # {segment_preflight, prove_segment_core}, prove/mod.rs:79-86 and
         # actors/worker.rs:569-592): host witgen of segment N+1 overlaps
-        # device proving of segment N.  The preflight result is MB-scale,
-        # so the core task carries same-host affinity; pools that enable
-        # this must subscribe a worker to PREFLIGHT.
+        # device proving of segment N.  The preflight result is the full
+        # witness matrix (~55 MB at po2=16, ~880 MB at po2=20) — the
+        # core task carries same-host affinity, but affinity is a soft
+        # preference (idle workers may steal), so TCP clusters should
+        # either colocate PREFLIGHT+PROVE_SEGMENT subscriptions on the
+        # same workers or leave this off and use RISC0_TPU_DEVICE_EXEC.
         self.split_preflight = split_preflight
         self._outst_lock = threading.Lock()
         self._streamed = 0

@@ -355,9 +355,19 @@ class ProverImpl(ProverServer):
                                        claim)
 
     def segment_preflight(self, seg):
+        import os
+
+        seg = resolve_segment(seg)
+        if os.environ.get("RISC0_TPU_DEVICE_EXEC") == "1":
+            # witness generation on the chip (exec_device.py) — the
+            # "preflight" half is just the C++ re-emulation; the witness
+            # is born on device and handed to prove_segment_core
+            from ..circuit.rv32im.exec_device import witgen_exec_device
+
+            return witgen_exec_device(seg)
         from ..circuit.rv32im.prove import segment_preflight as rv_preflight
 
-        return rv_preflight(resolve_segment(seg))
+        return rv_preflight(seg)
 
     def prove_segment_core(self, preflight, seg, claim) -> SegmentReceipt:
         from ..circuit.rv32im.prove import prove_segment_core as rv_core

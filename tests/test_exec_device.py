@@ -44,7 +44,6 @@ def test_exec_device_matches_cpp_loop():
 def test_exec_device_matches_cpp_sha_guest():
     """SHA accelerator rows: exercises the deep back-reads (back 7/15/
     16/68) and the sha injector columns."""
-    from password_checker import build_guest as _pw  # examples path
     from sha import build_guest
 
     msg = b"exec-device sha conformance vector " * 3
