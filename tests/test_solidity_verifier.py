@@ -135,3 +135,27 @@ def test_receipt_seal_calldata_method():
     cd = r.seal_calldata()
     assert cd[:4] == S.selector_from_params(params.digest())
     assert cd[4:] == bytes(z["seal"].tobytes())
+
+
+def test_emitter_matches_reference_ceremony_constants():
+    """Emitting the ceremony verifying key must reproduce the constants
+    in the reference's snarkjs verifier.sol byte-for-byte (operand order
+    included) — pins our G2 (c1, c0) storage convention to the deployed
+    contract's."""
+    import re
+
+    ref_path = "/root/reference/groth16_proof/groth16/verifier.sol"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference verifier.sol not available")
+    from risc0_tpu.groth16.verifier import GROTH16_VERIFIER_KEY
+
+    ref = {m.group(1): int(m.group(2)) for m in re.finditer(
+        r"uint256 constant (\w+) = (\d+);", open(ref_path).read())}
+    ours = {m.group(1): int(m.group(2)) for m in re.finditer(
+        r"uint256 constant (\w+) = (\d+);",
+        S.generate_groth16_verifier(GROTH16_VERIFIER_KEY))}
+    for k in ("alphax", "alphay", "betax1", "betax2", "betay1", "betay2",
+              "gammax1", "gammax2", "gammay1", "gammay2", "deltax1",
+              "deltax2", "deltay1", "deltay2", "IC0x", "IC0y", "IC5x",
+              "IC5y"):
+        assert ours[k] == ref[k], f"{k}: {ours[k]} != {ref[k]}"
