@@ -655,31 +655,98 @@ def _prefix_add_np(col):
     return out.astype(np.uint32)
 
 
-def witgen_accum_np(res, mix):
-    """Full device-algorithm accum in numpy (oracle for the jnp path):
-    probe evals -> affine scan -> final eval -> phases 2/3.
+def _scan_2x2_np(M, d):
+    """Inclusive scan of s_r = M_r s_{r-1} + d_r over 2-vector ext states
+    (s_{-1}=0): M (rows, 2, 2, 4) Mont ext, d (rows, 2, 4)."""
+    M = M.copy()
+    D = d.copy()
+    rows = d.shape[0]
+    off = 1
 
-    Returns accum in STANDARD form (103, rows), matching witgen_accum.
-    """
+    def matmul(A, B):   # (n,2,2,4) x (n,2,2,4)
+        out = np.empty_like(A)
+        for i in range(2):
+            for j in range(2):
+                out[:, i, j] = F.add_np(
+                    F.ext_mul_np(A[:, i, 0], B[:, 0, j]),
+                    F.ext_mul_np(A[:, i, 1], B[:, 1, j]))
+        return out
+
+    def matvec(A, v):   # (n,2,2,4) x (n,2,4)
+        out = np.empty_like(v)
+        for i in range(2):
+            out[:, i] = F.add_np(F.ext_mul_np(A[:, i, 0], v[:, 0]),
+                                 F.ext_mul_np(A[:, i, 1], v[:, 1]))
+        return out
+
+    while off < rows:
+        M2, D2 = M[off:], D[off:]
+        M1, D1 = M[:-off], D[:-off]
+        Mn = matmul(M2, M1)
+        Dn = F.add_np(matvec(M2, D1), D2)
+        M = np.concatenate([M[:off], Mn], axis=0)
+        D = np.concatenate([D[:off], Dn], axis=0)
+        off *= 2
+    return D
+
+
+def witgen_accum_np(res, mix):
+    """Full device-algorithm accum in numpy (oracle for the jnp path).
+
+    The three accumulator registers are resolved in two stages (the
+    zirgen GenerateAccum structure, verified by tests):
+      1. regs 0-1 evolve jointly ext-linearly — a 2x2 ext-matrix affine
+         scan over two basis probes;
+      2. reg 2 is affine in itself GIVEN regs 0-1 (its transition also
+         takes a reg0 (x) reg1 bilinear term — the bigint arm), so two
+         more probes evaluated at the TRUE prev regs 0-1 recover its
+         per-row affine coefficients for a plain affine scan.
+    A final evaluation with all true prev-states materializes every
+    column.  Returns accum in STANDARD form (103, rows)."""
     ag = accum_graph()
     data = res["data"]
     glob = res["global"]
     rows = res["rows"]
     mix = np.asarray(mix, np.uint32)
+    one = np.uint32(F.R % P)
+
+    def ev(state):
+        return eval_graph_np(ag, data, glob, mix, state)
 
     zero = np.zeros((rows, STATE_COLS), np.uint32)
-    e0, bad0 = eval_graph_np(ag, data, glob, mix, zero)
-    one = zero.copy()
-    one[:, 0] = one[:, 4] = one[:, 8] = F.R % P   # ext ONE per reg (Mont)
-    e1, _ = eval_graph_np(ag, data, glob, mix, one)
+    e0, _ = ev(zero)
+    stA = zero.copy(); stA[:, 0] = one
+    eA, _ = ev(stA)
+    stB = zero.copy(); stB[:, 4] = one
+    eB, _ = ev(stB)
 
-    d = e0[:STATE_COLS].T.reshape(rows, 3, 4)
-    cmat = F.sub_np(e1[:STATE_COLS], e0[:STATE_COLS]).T.reshape(rows, 3, 4)
-    s = _affine_scan_np(cmat, d)
-    state_prev = np.zeros_like(s)
-    state_prev[1:] = s[:-1]
-    e2, bad = eval_graph_np(
-        ag, data, glob, mix, state_prev.reshape(rows, STATE_COLS))
+    def reg(e, r):
+        return e[4 * r:4 * r + 4].T.copy()   # (rows, 4)
+
+    d01 = np.stack([reg(e0, 0), reg(e0, 1)], axis=1)
+    M = np.empty((rows, 2, 2, 4), np.uint32)
+    for i in range(2):
+        M[:, i, 0] = F.sub_np(reg(eA, i), reg(e0, i))
+        M[:, i, 1] = F.sub_np(reg(eB, i), reg(e0, i))
+    s01 = _scan_2x2_np(M, d01)
+    prev01 = np.zeros_like(s01)
+    prev01[1:] = s01[:-1]
+
+    stC = zero.copy()
+    stC[:, 0:4] = prev01[:, 0]
+    stC[:, 4:8] = prev01[:, 1]
+    eC, _ = ev(stC)
+    stD = stC.copy(); stD[:, 8] = one
+    eD, _ = ev(stD)
+    d2 = reg(eC, 2).reshape(rows, 1, 4)
+    A2 = F.sub_np(reg(eD, 2), reg(eC, 2)).reshape(rows, 1, 4)
+    s2 = _affine_scan_np(A2, d2)
+    prev2 = np.zeros_like(s2)
+    prev2[1:] = s2[:-1]
+
+    state_prev = stC.copy()
+    state_prev[:, 8:12] = prev2[:, 0]
+    e2, bad = ev(state_prev)
     if bad.any():
         raise RuntimeError(
             f"accum device eval: {int(bad.sum())} rows failed in-circuit "
@@ -878,7 +945,9 @@ def _plans():
 
 
 def _accum_pipeline(taps, scalars, chunk):
-    """The full device accum: probes -> affine scan -> final -> phases 2/3.
+    """The full device accum (staged scans — see witgen_accum_np):
+    regs 0-1 via a 2x2 ext-matrix affine associative_scan, reg 2 via a
+    plain affine scan with probes evaluated at the true regs 0-1.
 
     Returns (accum (103, rows) Montgomery u32, bad_rows scalar u32)."""
     import jax.numpy as jnp
@@ -889,24 +958,69 @@ def _accum_pipeline(taps, scalars, chunk):
     mont_one = jnp.uint32(F.R % P)
 
     zero_state = jnp.zeros((12, rows), jnp.uint32)
-    one_state = zero_state.at[0].set(mont_one).at[4].set(mont_one) \
-                          .at[8].set(mont_one)
     e0 = _run_plan(plans["probe"], taps, scalars, zero_state, chunk)
-    e1 = _run_plan(plans["probe"], taps, scalars, one_state, chunk)
+    eA = _run_plan(plans["probe"], taps, scalars,
+                   zero_state.at[0].set(mont_one), chunk)
+    eB = _run_plan(plans["probe"], taps, scalars,
+                   zero_state.at[4].set(mont_one), chunk)
 
-    d = e0.T.reshape(rows, 3, 4)
-    c = F.sub(e1, e0).T.reshape(rows, 3, 4)
+    def reg(e, r):
+        return e[4 * r:4 * r + 4].T   # (rows, 4)
+
+    d01 = jnp.stack([reg(e0, 0), reg(e0, 1)], axis=1)
+    M = jnp.stack([
+        jnp.stack([F.sub(reg(eA, 0), reg(e0, 0)),
+                   F.sub(reg(eB, 0), reg(e0, 0))], axis=1),
+        jnp.stack([F.sub(reg(eA, 1), reg(e0, 1)),
+                   F.sub(reg(eB, 1), reg(e0, 1))], axis=1),
+    ], axis=1)   # (rows, 2(out), 2(in), 4)
+
+    def mat_compose(lo, hi):
+        M1, D1 = lo
+        M2, D2 = hi
+
+        def mm(A, B):
+            cols = []
+            for j in range(2):
+                cols.append(jnp.stack([
+                    F.add(F.ext_mul(A[:, i, 0], B[:, 0, j]),
+                          F.ext_mul(A[:, i, 1], B[:, 1, j]))
+                    for i in range(2)], axis=1))
+            return jnp.stack(cols, axis=2)
+
+        def mv(A, v):
+            return jnp.stack([
+                F.add(F.ext_mul(A[:, i, 0], v[:, 0]),
+                      F.ext_mul(A[:, i, 1], v[:, 1]))
+                for i in range(2)], axis=1)
+
+        return mm(M2, M1), F.add(mv(M2, D1), D2)
+
+    _, s01 = lax.associative_scan(mat_compose, (M, d01), axis=0)
+    prev01 = jnp.concatenate(
+        [jnp.zeros((1, 2, 4), jnp.uint32), s01[:-1]], axis=0)
+
+    stC = jnp.concatenate(
+        [prev01.reshape(rows, 8), jnp.zeros((rows, 4), jnp.uint32)],
+        axis=1).T
+    eC = _run_plan(plans["probe"], taps, scalars, stC, chunk)
+    eD = _run_plan(plans["probe"], taps, scalars,
+                   stC.at[8].set(mont_one), chunk)
+    d2 = reg(eC, 2)
+    A2 = F.sub(reg(eD, 2), reg(eC, 2))
 
     def compose(lo, hi):
         c1, d1 = lo
-        c2, d2 = hi
-        return F.ext_mul(c2, c1), F.add(F.ext_mul(c2, d1), d2)
+        c2, d2_ = hi
+        return F.ext_mul(c2, c1), F.add(F.ext_mul(c2, d1), d2_)
 
-    _, s = lax.associative_scan(compose, (c, d), axis=0)
+    _, s2 = lax.associative_scan(compose, (A2, d2), axis=0)
+    prev2 = jnp.concatenate(
+        [jnp.zeros((1, 4), jnp.uint32), s2[:-1]], axis=0)
+
     state_prev = jnp.concatenate(
-        [jnp.zeros((1, 3, 4), jnp.uint32), s[:-1]], axis=0)
-    e2 = _run_plan(plans["full"], taps, scalars,
-                   state_prev.reshape(rows, 12).T, chunk)
+        [prev01.reshape(rows, 8), prev2], axis=1).T
+    e2 = _run_plan(plans["full"], taps, scalars, state_prev, chunk)
     accum, bad = e2[:NUM_ACCUM], e2[NUM_ACCUM]
 
     # phase 2: inclusive prefix-sum of the last 4 columns (ffi.cpp:330-339)

@@ -33,7 +33,8 @@ _DISABLE = os.environ.get("RISC0_TRACE_CACHE_DISABLE") == "1"
 
 # source files whose changes invalidate every cached trace
 _SRC_FILES = ("circuit/ir_range.py", "circuit/ir_exec.py", "field.py",
-              "hal/trace_cache.py")
+              "hal/trace_cache.py", "circuit/rv32im/accum_device.py",
+              "circuit/rv32im/exec_device.py")
 
 
 def _src_digest() -> str:

@@ -48,35 +48,54 @@ def test_accum_device_matches_cpp():
         f"{len(mism)} mismatching cells, first: {mism[:5].tolist()}"
 
 
-def test_accum_affine_assumption():
-    """The state transition must be s' = C*s + d with per-reg ext C
-    (diagonal, ext-linear).  Probe with a random state and check
-    E(s) == C*s + d elementwise — this would catch cross-register mixing
-    or non-affine state use that the two-probe recovery cannot represent."""
+def test_accum_staged_linearity_assumptions():
+    """The staged-scan structure (witgen_accum_np): regs 0-1 must be
+    JOINTLY ext-linear in (reg0, reg1), and reg 2 affine in itself given
+    the true regs 0-1 (its transition includes a reg0 (x) reg1 bilinear
+    term in the bigint arm).  Validated with random-state probes."""
     from risc0_tpu.circuit.rv32im import accum_device as AD
 
     res, mix = _loop_res(count=50)
     ag = AD.accum_graph()
     rows = res["rows"]
     data, glob = res["data"], res["global"]
+    one = np.uint32(F.R % F.P)
+
+    def ev(state):
+        return AD.eval_graph_np(ag, data, glob, mix, state)[0]
 
     zero = np.zeros((rows, 12), np.uint32)
-    e0, _ = AD.eval_graph_np(ag, data, glob, mix, zero)
-    one = zero.copy()
-    one[:, 0] = one[:, 4] = one[:, 8] = F.R % F.P
-    e1, _ = AD.eval_graph_np(ag, data, glob, mix, one)
-    d = e0[:12].T.reshape(rows, 3, 4)
-    c = F.sub_np(e1[:12], e0[:12]).T.reshape(rows, 3, 4)
+    e0 = ev(zero)
+    stA = zero.copy(); stA[:, 0] = one
+    stB = zero.copy(); stB[:, 4] = one
+    eA, eB = ev(stA), ev(stB)
+
+    def reg(e, r):
+        return e[4 * r:4 * r + 4].T
 
     rng = np.random.default_rng(11)
-    s = F.encode_np(rng.integers(0, F.P, (rows, 3, 4)).astype(np.uint32))
-    er, _ = AD.eval_graph_np(ag, data, glob, mix,
-                             s.reshape(rows, 12))
-    want = F.add_np(F.ext_mul_np(c, s), d)
-    got = er[:12].T.reshape(rows, 3, 4)
-    assert np.array_equal(got, want), "state transition is not affine-diagonal"
+    s01 = F.encode_np(rng.integers(0, F.P, (rows, 2, 4)).astype(np.uint32))
+    st = zero.copy()
+    st[:, 0:8] = s01.reshape(rows, 8)
+    er = ev(st)
+    for i in range(2):
+        want = F.add_np(reg(e0, i), F.add_np(
+            F.ext_mul_np(F.sub_np(reg(eA, i), reg(e0, i)), s01[:, 0]),
+            F.ext_mul_np(F.sub_np(reg(eB, i), reg(e0, i)), s01[:, 1])))
+        assert np.array_equal(reg(er, i), want), \
+            f"regs 0-1 not jointly ext-linear (reg {i})"
+    # reg2 affine given s01: E(s01, x) == A2*x + d2
+    eC = er  # state (s01, 0)
+    stD = st.copy(); stD[:, 8] = one
+    eD = ev(stD)
+    x = F.encode_np(rng.integers(0, F.P, (rows, 4)).astype(np.uint32))
+    stX = st.copy(); stX[:, 8:12] = x
+    eX = ev(stX)
+    want2 = F.add_np(reg(eC, 2), F.ext_mul_np(
+        F.sub_np(reg(eD, 2), reg(eC, 2)), x))
+    assert np.array_equal(reg(eX, 2), want2), "reg2 not affine given s01"
     # row 0 never reads the (cyclically wrapped) previous state
-    assert (c[0] == 0).all()
+    assert (F.sub_np(reg(eA, 0), reg(e0, 0))[0] == 0).all()
 
 
 def test_accum_device_agrees_with_cpp_on_corrupt_witness():
@@ -165,3 +184,36 @@ def test_accum_device_commit_root_matches_host_path():
     assert len(layers1) == len(layers2)
     for a, b in zip(layers1, layers2):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_accum_device_matches_cpp_bigint_guest():
+    """The bigint arm's reg0 (x) reg1 bilinear accumulation (the case
+    that breaks a single-register affine scan) must be bit-exact vs the
+    C++ interpreter — regression for the staged-scan algorithm."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tests.test_bigint import test_bigint2_guest_executes
+
+    from risc0_tpu.circuit.rv32im import accum_device as AD
+    from risc0_tpu.circuit.rv32im.witgen import witgen_accum, witgen_exec
+
+    session = test_bigint2_guest_executes()
+    res = witgen_exec(session.segments[0], rand_z=(5, 6, 7, 8))
+    mix = np.arange(1, 37, dtype=np.uint32)
+    want = witgen_accum(res, mix)
+    got = AD.witgen_accum_np(res, mix)
+    assert np.array_equal(got, want)
+
+
+def test_accum_device_jnp_matches_cpp_bigint_guest():
+    from tests.test_bigint import test_bigint2_guest_executes
+
+    from risc0_tpu.circuit.rv32im import accum_device as AD
+    from risc0_tpu.circuit.rv32im.witgen import witgen_accum, witgen_exec
+
+    session = test_bigint2_guest_executes()
+    res = witgen_exec(session.segments[0], rand_z=(5, 6, 7, 8))
+    mix = np.arange(1, 37, dtype=np.uint32)
+    want = witgen_accum(res, mix)
+    got = F.decode_np(np.asarray(AD.witgen_accum_device(res, mix)))
+    assert np.array_equal(got, want)
