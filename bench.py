@@ -167,6 +167,13 @@ def measure_one(po2: int) -> dict:
 def child_main(po2: int):
     fake = os.environ.get("RISC0_BENCH_FAKE")  # test-only: parent plumbing
     if fake:
+        if fake == "timeout_once":
+            # first attempt hangs past the cap; the retry succeeds —
+            # models a cold-compile cap blow resumed from the warm cache
+            marker = os.environ["RISC0_BENCH_FAKE_MARKER"]
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                time.sleep(9999)
         time.sleep(float(os.environ.get("RISC0_BENCH_FAKE_SLEEP", "0")))
         if fake == "fail":
             raise RuntimeError("fake child failure")
@@ -207,8 +214,9 @@ def main():
             break
         for attempt in (1, 2):  # retry once: relay blips are transient and
             # the persistent compile cache makes the retry resume cheaply
-            cap = min(PO2_CAP_S.get(po2, 3600), remaining() - 30)
-            if cap < 120:
+            cap_env = float(os.environ.get("RISC0_BENCH_CAP_S", 0))
+            cap = min(cap_env or PO2_CAP_S.get(po2, 3600), remaining() - 30)
+            if cap < min(120, cap_env or 120):
                 _note(f"budget exhausted ({remaining():.0f}s left); "
                       f"stopping before po2={po2}")
                 timed_out = True
@@ -236,8 +244,18 @@ def main():
                     emitted += 1
                 _note(f"po2={po2} exceeded its {cap:.0f}s cap"
                       f"{' (result line salvaged)' if line else ''}")
-                timed_out = True  # a bigger size would also blow the budget
-                break
+                if line:
+                    break  # measurement landed; teardown hang only
+                # A first-attempt timeout is usually COLD COMPILES, and
+                # every compile that finished is in the persistent cache —
+                # the retry resumes roughly where the cap hit (BENCH_r05
+                # fix: the old code abandoned the whole ladder here with
+                # hours of budget left).  Only give up on this size after
+                # a second cap blows with the cache already warm.
+                if attempt == 2:
+                    timed_out = True
+                    break
+                continue  # attempt 2 resumes from the persistent cache
             line = next((ln for ln in reversed(r.stdout.splitlines())
                          if ln.startswith("{")), None)
             if r.returncode == 0 and line:

@@ -39,6 +39,20 @@ def test_child_failure_still_exits_zero_with_fallback_line():
     assert lines[-1]["value"] == 0 and "error" in lines[-1]["detail"]
 
 
+def test_cap_timeout_retries_same_size(tmp_path):
+    # BENCH_r05 regression: a first-attempt cap blow (cold compiles) must
+    # RETRY the size — the persistent compile cache makes the retry
+    # resume — not abandon the ladder with budget left
+    marker = str(tmp_path / "attempt1")
+    rc, lines = _run({"RISC0_BENCH_FAKE": "timeout_once",
+                      "RISC0_BENCH_FAKE_MARKER": marker,
+                      "RISC0_BENCH_PO2S": "16",
+                      "RISC0_BENCH_CAP_S": "3"}, timeout=180)
+    assert rc == 0
+    assert lines and lines[-1]["detail"]["po2"] == 16
+    assert os.path.exists(marker), "first attempt must have run"
+
+
 def test_budget_cuts_ladder_but_keeps_emitted_lines():
     # child sleeps 10s; budget allows ~ one 120s-floor cap then exhausts
     rc, lines = _run({"RISC0_BENCH_FAKE": "1",
