@@ -131,9 +131,9 @@ def lift_step(segs, povw=False, index=0):
     return receipt
 
 
-def conditional_step(po2=16, povw=False):
+def conditional_step(po2=16, povw=False, assume="lift_rv32im_14"):
     """A segment whose guest records an assumption via verify_integrity2
-    (head assumption = the lift_14 artifact's claim, 'self' zero root)."""
+    (head assumption = a prior lift artifact's claim, 'self' zero root)."""
     from risc0_tpu.circuit.rv32im.claim import decode_claim
     from risc0_tpu.circuit.rv32im.prove import prove_segment
     from risc0_tpu.circuit.rv32im.verify import verify_rv32im_seal
@@ -141,7 +141,7 @@ def conditional_step(po2=16, povw=False):
     from risc0_tpu.zkvm.guest import Asm
     from risc0_tpu.zkvm.receipt import SegmentReceipt
 
-    assumption = _load("lift_rv32im_14")
+    assumption = _load(assume)
     claim_digest = np.asarray(assumption.claim.digest(), np.uint32)
     root = np.zeros(8, np.uint32)
 
@@ -200,78 +200,76 @@ def keccak_lift_step(po2):
 
 
 def build_steps(big=False):
-    """Return ordered [(name, fn)] covering every shipped program."""
+    """Return ordered [(name, fn)] covering every shipped program.
+
+    Ordering is compile-cache-aware (the axon remote compile service is
+    ~1 graph/min cold): everything that can run against the BASE po2
+    (default 16 — the size bench.py warms first) goes first, so one
+    rv32im compile block + one recursion-circuit compile block unlock
+    every predicate program; per-po2 lift coverage at the other sizes
+    follows, each paying its own rv32im compile block; keccak last.
+    Override the base with RISC0_BOOT_BASE_PO2.
+    """
     from risc0_tpu.zkvm import recursion_driver as RD
 
     steps = []
+    B = int(os.environ.get("RISC0_BOOT_BASE_PO2", "16"))
     po2s = list(range(14, 21)) + ([21, 22] if big else [])
+    assert B in po2s
 
-    for po2 in po2s:
-        steps.append((f"seg_{po2}", lambda p=po2: seg_step(p)))
-        steps.append((f"lift_rv32im_{po2}",
-                      lambda p=po2: lift_step(_load(f"seg_{p}"))))
-    for po2 in po2s:
-        steps.append((f"seg_povw_{po2}", lambda p=po2: seg_step(p, povw=True)))
-        steps.append((f"lift_rv32im_povw_{po2}",
-                      lambda p=po2: lift_step(_load(f"seg_povw_{p}"),
-                                              povw=True)))
+    # --- base-po2 block: every predicate program, warm shapes first ---
+    steps.append((f"seg_{B}", lambda: seg_step(B)))
+    steps.append((f"lift_rv32im_{B}",
+                  lambda: lift_step(_load(f"seg_{B}"))))
+    steps.append((f"seg_povw_{B}", lambda: seg_step(B, povw=True)))
+    steps.append((f"lift_rv32im_povw_{B}",
+                  lambda: lift_step(_load(f"seg_povw_{B}"), povw=True)))
 
-    # join over a real 2-segment session (po2=14)
-    steps.append(("seg2_14", lambda: seg_step(14, n_segments=2, fill=0.75)))
-    steps.append(("lift2_14a", lambda: lift_step(_load("seg2_14"), index=0)))
-    steps.append(("lift2_14b", lambda: lift_step(_load("seg2_14"), index=1)))
+    # join/union over a real 2-segment session at the base po2
+    steps.append((f"seg2_{B}",
+                  lambda: seg_step(B, n_segments=2, fill=0.75)))
+    steps.append((f"lift2_{B}a",
+                  lambda: lift_step(_load(f"seg2_{B}"), index=0)))
+    steps.append((f"lift2_{B}b",
+                  lambda: lift_step(_load(f"seg2_{B}"), index=1)))
 
     def join_step():
-        r = RD.join(_load("lift2_14a"), _load("lift2_14b"))
+        r = RD.join(_load(f"lift2_{B}a"), _load(f"lift2_{B}b"))
         r.verify_integrity(_ctx())
         return r
     steps.append(("join", join_step))
 
     def union_step():
-        r = RD.union(_load("lift_rv32im_14"), _load("lift2_14a"))
+        r = RD.union(_load(f"lift_rv32im_{B}"), _load(f"lift2_{B}a"))
         r.verify_integrity(_ctx())
         return r
     steps.append(("union", union_step))
 
-    def identity_step():
-        from risc0_tpu.circuit.recursion.predicates import own_control_ids
-        from risc0_tpu.zkvm.receipt import VerifierContext
-        r = RD.identity_p254(_load("lift_rv32im_14"))
-        _ids, p2_root = own_control_ids()
-        r.verify_integrity(VerifierContext(
-            hashfn="poseidon254", control_root=r.control_root,
-            inner_control_root=p2_root))
-        return r
-    steps.append(("identity_p254", identity_step))
-
-    for po2 in range(14, 19):
-        steps.append((f"keccak_{po2}", lambda p=po2: keccak_step(p)))
-        steps.append((f"keccak_lift_{po2}",
-                      lambda p=po2: keccak_lift_step(p)))
-
-    # resolve: conditional (verify2 guest) + assumption = lift_rv32im_14
-    steps.append(("seg_cond", conditional_step))
+    # resolve: conditional (verify2 guest) + assumption = base lift
+    steps.append(("seg_cond",
+                  lambda: conditional_step(po2=B,
+                                           assume=f"lift_rv32im_{B}")))
     steps.append(("lift_cond", lambda: lift_step(_load("seg_cond"))))
 
     def resolve_step():
-        r = RD.resolve(_load("lift_cond"), _load("lift_rv32im_14"))
+        r = RD.resolve(_load("lift_cond"), _load(f"lift_rv32im_{B}"))
         r.verify_integrity(_ctx())
         return r
     steps.append(("resolve", resolve_step))
 
-    # povw join / unwrap chains (2-segment povw session at po2=14)
-    steps.append(("seg2_povw_14",
-                  lambda: seg_step(14, povw=True, n_segments=2, fill=0.75)))
-    steps.append(("lift2_povw_14a",
-                  lambda: lift_step(_load("seg2_povw_14"), povw=True,
+    # povw join / unwrap chains (2-segment povw session at base po2)
+    steps.append((f"seg2_povw_{B}",
+                  lambda: seg_step(B, povw=True, n_segments=2, fill=0.75)))
+    steps.append((f"lift2_povw_{B}a",
+                  lambda: lift_step(_load(f"seg2_povw_{B}"), povw=True,
                                     index=0)))
-    steps.append(("lift2_povw_14b",
-                  lambda: lift_step(_load("seg2_povw_14"), povw=True,
+    steps.append((f"lift2_povw_{B}b",
+                  lambda: lift_step(_load(f"seg2_povw_{B}"), povw=True,
                                     index=1)))
 
     def join_povw_step(unwrap=False):
-        r = RD.join_povw(_load("lift2_povw_14a"), _load("lift2_povw_14b"),
-                         unwrap=unwrap)
+        r = RD.join_povw(_load(f"lift2_povw_{B}a"),
+                         _load(f"lift2_povw_{B}b"), unwrap=unwrap)
         r.verify_integrity(_ctx())
         return r
     steps.append(("join_povw", join_povw_step))
@@ -284,18 +282,51 @@ def build_steps(big=False):
     steps.append(("unwrap_povw", unwrap_step))
 
     # resolve_povw: conditional under a povw job + plain assumption
-    steps.append(("seg_cond_povw", lambda: conditional_step(povw=True)))
+    steps.append(("seg_cond_povw",
+                  lambda: conditional_step(po2=B, povw=True,
+                                           assume=f"lift_rv32im_{B}")))
     steps.append(("lift_cond_povw",
                   lambda: lift_step(_load("seg_cond_povw"), povw=True)))
 
     def resolve_povw_step(unwrap=False):
         r = RD.resolve_povw(_load("lift_cond_povw"),
-                            _load("lift_rv32im_14"), unwrap=unwrap)
+                            _load(f"lift_rv32im_{B}"), unwrap=unwrap)
         r.verify_integrity(_ctx())
         return r
     steps.append(("resolve_povw", resolve_povw_step))
     steps.append(("resolve_unwrap_povw",
                   lambda: resolve_povw_step(unwrap=True)))
+
+    def identity_step():
+        from risc0_tpu.circuit.recursion.predicates import own_control_ids
+        from risc0_tpu.zkvm.receipt import VerifierContext
+        r = RD.identity_p254(_load(f"lift_rv32im_{B}"))
+        _ids, p2_root = own_control_ids()
+        r.verify_integrity(VerifierContext(
+            hashfn="poseidon254", control_root=r.control_root,
+            inner_control_root=p2_root))
+        return r
+    steps.append(("identity_p254", identity_step))
+
+    # --- per-po2 lift coverage at the remaining sizes (bench.py's
+    # ladder warms 18/20, so they go before the never-compiled sizes) ---
+    rest = [p for p in (18, 20) if p in po2s and p != B]
+    rest += [p for p in po2s if p != B and p not in rest]
+    for po2 in rest:
+        steps.append((f"seg_{po2}", lambda p=po2: seg_step(p)))
+        steps.append((f"lift_rv32im_{po2}",
+                      lambda p=po2: lift_step(_load(f"seg_{p}"))))
+        steps.append((f"seg_povw_{po2}",
+                      lambda p=po2: seg_step(p, povw=True)))
+        steps.append((f"lift_rv32im_povw_{po2}",
+                      lambda p=po2: lift_step(_load(f"seg_povw_{p}"),
+                                              povw=True)))
+
+    # --- keccak circuit + keccak_lift programs ---
+    for po2 in range(14, 19):
+        steps.append((f"keccak_{po2}", lambda p=po2: keccak_step(p)))
+        steps.append((f"keccak_lift_{po2}",
+                      lambda p=po2: keccak_lift_step(p)))
     return steps
 
 
