@@ -151,6 +151,18 @@ def prove_segment_core(res, suite=None, use_jit=True):
         from .accum_device import witgen_accum_device
         with perf.scope("witgen_accum"):
             accum_m = witgen_accum_device(res, F.decode_np(mix_m))
+        from ...hal import jnp_hal as hal
+        mesh = hal._SHARD.get("mesh")
+        if mesh is not None:
+            # the accum graph runs single-device, so its output is
+            # COMMITTED to device 0; the sharded commit's in-graph
+            # constraint spans the whole mesh and jit rejects the
+            # placement conflict — re-place as mesh-replicated (the
+            # commit reshards to its column layout internally)
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+            accum_m = jax.device_put(
+                accum_m, NamedSharding(mesh, PartitionSpec()))
         prover.commit_group(REGISTER_GROUP_ACCUM, accum_m, encode=False)
     else:
         with perf.scope("witgen_accum"):
